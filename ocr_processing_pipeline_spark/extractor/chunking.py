@@ -1,0 +1,164 @@
+"""Deterministic sentence/paragraph chunker (oracle for the Spark stage).
+
+Reimplements the reference's semantic chunker semantics with deterministic
+breakpoints (north rule drops model inference):
+
+- W1 sentence segmentation        lora_chunking_api.py:274-276 (stanza)
+- W2 cumulative token spans       lora_chunking_api.py:168-180
+- W3 breakpoints: token budget 512 OR paragraph boundary (stands in for the
+  cosine<0.89 similarity break)   lora_chunking_api.py:212-241, env
+  CHUNK_TOKEN_LIMIT=512 / SIMILARITY_THRESHOLD=0.89 in docker-compose.yml
+- W4 merge fold: a single-sentence chunk is merged into its predecessor iff
+  the combined budget holds       lora_chunking_api.py:142-165 (:156)
+- W5 window split: docs > 8192 tokens processed in windows of 8192 with
+  overlap 256, spans remapped to global offsets
+                                  lora_chunking_api.py:329-339;
+                                  late_chunking_api.py:417-421
+- W6 chunk_order numbering, chunk_id = "{doc_id}/{order}"
+                                  lora_chunking_api.py:302,307
+
+Pure function over (doc_id, text) → list of chunk dicts. Used by both the
+Spark stage (pipeline/chunk.py) and pytest.
+"""
+
+from __future__ import annotations
+
+from .textproc import split_sentences, tokenize
+
+CHUNK_TOKEN_LIMIT = 512
+WINDOW_TOKEN_LIMIT = 8192
+WINDOW_OVERLAP = 256
+
+
+def _sentence_records(text: str) -> list[dict]:
+    """Sentences with token counts and char spans into ``text``."""
+    recs = []
+    cursor = 0
+    for sent, starts_para in split_sentences(text):
+        start = text.find(sent, cursor)
+        if start < 0:  # normalized whitespace edge; fall back to cursor
+            start = cursor
+        end = start + len(sent)
+        cursor = end
+        recs.append({
+            "sent": sent,
+            "starts_para": starts_para,
+            "n_tokens": len(tokenize(sent)),
+            "start": start,
+            "end": end,
+        })
+    return recs
+
+
+def _chunk_sentence_run(recs: list[dict]) -> list[list[dict]]:
+    """W3: greedy fold — new chunk on budget overflow or paragraph start."""
+    chunks: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_tokens = 0
+    for r in recs:
+        breakpoint_ = (
+            cur
+            and (cur_tokens + r["n_tokens"] > CHUNK_TOKEN_LIMIT
+                 or r["starts_para"])
+        )
+        if breakpoint_:
+            chunks.append(cur)
+            cur, cur_tokens = [], 0
+        cur.append(r)
+        cur_tokens += r["n_tokens"]
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def _merge_single_sentence_chunks(chunks: list[list[dict]]) -> list[list[dict]]:
+    """W4: merge a 1-sentence chunk into its predecessor if budget holds.
+
+    Mirrors the reference's merge rule (lora_chunking_api.py:142-165): ONLY
+    single-sentence chunks are merge candidates (:156), and the merge is
+    applied left-to-right over the already-built chunk list.
+    """
+    merged: list[list[dict]] = []
+    for ch in chunks:
+        if (merged and len(ch) == 1):
+            prev_tokens = sum(r["n_tokens"] for r in merged[-1])
+            if prev_tokens + ch[0]["n_tokens"] <= CHUNK_TOKEN_LIMIT:
+                merged[-1] = merged[-1] + ch
+                continue
+        merged.append(ch)
+    return merged
+
+
+def chunk_document(doc_id: str, text: str) -> list[dict]:
+    """Chunk one document; returns rows for the ``chunks`` table.
+
+    Output row: {chunk_id, doc_id, chunk_order, content, span_start,
+    span_end, n_tokens, n_sentences}. chunk_order is gapless from 0 and
+    derived from span order, never arrival order (SURVEY §7 hard part 3).
+    """
+    recs = _sentence_records(text)
+    if not recs:
+        return []
+
+    # W5: split giant docs into overlapping token windows, chunk each window
+    # independently, then drop chunks fully inside the overlap of a previous
+    # window (dedup on span_start) — spans stay global because sentence char
+    # offsets are global already (the remap of late_chunking_api.py:417-421
+    # is unnecessary when offsets are computed once, globally).
+    total_tokens = sum(r["n_tokens"] for r in recs)
+    windows: list[list[dict]] = []
+    if total_tokens <= WINDOW_TOKEN_LIMIT:
+        windows.append(recs)
+    else:
+        i = 0
+        while i < len(recs):
+            w: list[dict] = []
+            w_tokens = 0
+            j = i
+            while j < len(recs) and w_tokens + recs[j]["n_tokens"] <= WINDOW_TOKEN_LIMIT:
+                w.append(recs[j])
+                w_tokens += recs[j]["n_tokens"]
+                j += 1
+            if j == i:  # single sentence longer than the window: take it alone
+                w = [recs[i]]
+                j = i + 1
+            windows.append(w)
+            if j >= len(recs):
+                break
+            # step back so the next window overlaps by ~WINDOW_OVERLAP tokens
+            back_tokens = 0
+            k = j
+            while k > i + 1 and back_tokens < WINDOW_OVERLAP:
+                k -= 1
+                back_tokens += recs[k]["n_tokens"]
+            i = k
+
+    seen_starts: set[int] = set()
+    all_chunks: list[list[dict]] = []
+    for w in windows:
+        for ch in _merge_single_sentence_chunks(_chunk_sentence_run(w)):
+            if ch[0]["start"] in seen_starts:
+                continue
+            seen_starts.add(ch[0]["start"])
+            all_chunks.append(ch)
+
+    # W6: deterministic ordering by span start, then number.
+    all_chunks.sort(key=lambda ch: ch[0]["start"])
+    rows = []
+    for order, ch in enumerate(all_chunks):
+        content = text[ch[0]["start"]:ch[-1]["end"]]
+        rows.append({
+            "chunk_id": f"{doc_id}/{order}",
+            "doc_id": doc_id,
+            "chunk_order": order,
+            "content": content,
+            "span_start": ch[0]["start"],
+            "span_end": ch[-1]["end"],
+            "n_tokens": sum(r["n_tokens"] for r in ch),
+            "n_sentences": len(ch),
+        })
+    return rows
+
+
+__all__ = ["chunk_document", "CHUNK_TOKEN_LIMIT", "WINDOW_TOKEN_LIMIT",
+           "WINDOW_OVERLAP"]

@@ -1,0 +1,304 @@
+"""Gazetteer/regex NER span extraction + deterministic entity linking.
+
+Replaces the reference's spaCy NER (apertus_ner_chunk.py:254-263, U4) and
+LLM role confirmation (apertus_get_roles.py:72-180, J5/U5) with deterministic
+rules over broadcast gazetteers, preserving the reference's *semantics*:
+
+- mention detection: longest-match dictionary scan over token sequences
+  (Aho-Corasick-style trie walk in pure Python) against gazetteer surface
+  forms; emits (mention, entity_type, char span)
+- A5 last-name reduce: single-token PER mentions fuzzy-matching the last
+  name of a multi-token mention in the same doc collapse into it
+  (apertus_ner_chunk.py:97-119, fuzz.ratio ≥ 80 at :111)
+- J1 linking: candidates by blocked key (lowercased last token), scored with
+  token_sort_ratio (≥ 85, apertus_ner_chunk.py:174-178 / env FUZZ :28)
+- F7 date plausibility: drop person if died > 7300 days before doc date or
+  born < 7300 days before doc date; rows with unparseable years PASS
+  (apertus_ner_chunk.py:180-201, failure pass-through :191-192)
+- F11 URL-prefix guards per entity type (apertus_ner_chunk.py:345,357,369)
+- J5 replacement: role keyword present in chunk text must overlap the
+  gazetteer row's roles array (deterministic rule join)
+
+Pure Python; Spark wires this into mapInPandas with the gazetteer as a
+broadcast variable (pipeline/ner.py).
+"""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+from ..functions.fuzzy import (FUZZ_SINGLE_THRESHOLD, FUZZ_THRESHOLD,
+                               full_process, ratio, token_sort_ratio)
+from .textproc import tokenize
+
+DATE_WINDOW_DAYS = 7300  # apertus_ner_chunk.py:186,195
+
+PERSON_URL_PREFIX = "http://hls-dhs-dss.ch/"        # :369
+PLACE_URL_PREFIX = "https://ld.admin.ch/"           # :345
+ORG_URL_PREFIX = "https://culture.ld.admin.ch/"     # :357
+
+
+# --- gazetteer index ---------------------------------------------------------
+
+class GazetteerIndex:
+    """Trie over normalized token sequences of gazetteer surface forms.
+
+    Surface forms: persons → name, lemma (last name); places/orgs →
+    name_de/name_fr/name_it. Longest match wins; matching is
+    case-insensitive on full_process-normalized tokens.
+    """
+
+    def __init__(self, persons: list[dict], places: list[dict],
+                 orgs: list[dict]):
+        self.persons = persons
+        self.places = places
+        self.orgs = orgs
+        self._trie: dict = {}
+        self.max_len = 1
+        for p in persons:
+            self._add(p.get("name", ""), "PER")
+            self._add(p.get("lemma", ""), "PER")
+        for pl in places:
+            for key in ("name_de", "name_fr", "name_it"):
+                self._add(pl.get(key, ""), "LOC")
+        for o in orgs:
+            for key in ("name_de", "name_fr", "name_it"):
+                self._add(o.get(key, ""), "ORG")
+        # blocked candidate index for linking: lowercased last name token
+        self.person_block: dict[str, list[dict]] = {}
+        for p in persons:
+            toks = full_process(p.get("name", "")).split()
+            if toks:
+                self.person_block.setdefault(toks[-1], []).append(p)
+        self.place_block: dict[str, list[dict]] = {}
+        for pl in places:
+            for key in ("name_de", "name_fr", "name_it"):
+                toks = full_process(pl.get(key, "")).split()
+                if toks:
+                    self.place_block.setdefault(toks[-1], []).append(pl)
+        self.org_block: dict[str, list[dict]] = {}
+        for o in orgs:
+            for key in ("name_de", "name_fr", "name_it"):
+                toks = full_process(o.get(key, "")).split()
+                if toks:
+                    self.org_block.setdefault(toks[-1], []).append(o)
+
+    def _add(self, surface: str, etype: str):
+        toks = full_process(surface).split()
+        if not toks:
+            return
+        self.max_len = max(self.max_len, len(toks))
+        node = self._trie
+        for t in toks:
+            node = node.setdefault(t, {})
+        node.setdefault("\0", set()).add(etype)
+
+    def scan(self, text: str) -> list[dict]:
+        """Longest-match scan; returns mentions with char spans."""
+        # tokens with char offsets
+        toks: list[tuple[str, int, int]] = []
+        cursor = 0
+        for t in tokenize(text):
+            start = text.find(t, cursor)
+            if start < 0:
+                start = cursor
+            toks.append((t, start, start + len(t)))
+            cursor = start + len(t)
+        norm = [full_process(t) for t, _, _ in toks]
+        mentions = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            node = self._trie
+            best = None  # (j_exclusive, etypes)
+            j = i
+            while j < n and j - i < self.max_len and norm[j] in node:
+                node = node[norm[j]]
+                j += 1
+                if "\0" in node:
+                    best = (j, node["\0"])
+            if best is not None:
+                j_end, etypes = best
+                mention_text = text[toks[i][1]:toks[j_end - 1][2]]
+                for etype in sorted(etypes):
+                    mentions.append({
+                        "mention": mention_text,
+                        "entity_type": etype,
+                        "span_start": toks[i][1],
+                        "span_end": toks[j_end - 1][2],
+                        "n_tokens": j_end - i,
+                    })
+                i = j_end  # longest match consumes tokens
+            else:
+                i += 1
+        return mentions
+
+
+# --- A5: last-name reduce ----------------------------------------------------
+
+def reduce_person_mentions(names: list[str]) -> list[str]:
+    """Collapse single names into fuzzy-matching full names; sorted set.
+
+    Mirrors apertus_ner_chunk.py:97-119: for each single-token name, if its
+    fuzz.ratio against the LAST token of any multi-token name ≥ 80, drop the
+    single (the full name subsumes it). Returns sorted unique survivors.
+    """
+    uniq = sorted(set(names))
+    full = [n for n in uniq if len(n.split()) > 1]
+    singles = [n for n in uniq if len(n.split()) <= 1]
+    kept = list(full)
+    for s in singles:
+        subsumed = any(
+            ratio(s, f.split()[-1]) >= FUZZ_SINGLE_THRESHOLD for f in full
+        )
+        if not subsumed:
+            kept.append(s)
+    return sorted(set(kept))
+
+
+# --- F7: date plausibility ---------------------------------------------------
+
+def _parse_year(value) -> int | None:
+    """Year from '1924', '1924.0', '' — mirrors split('.')[0] at :185,194."""
+    if value is None:
+        return None
+    s = str(value).split(".")[0].strip()
+    if len(s) == 4 and s.isdigit():
+        return int(s)
+    return None
+
+
+def person_date_plausible(person: dict, doc_date: date | None) -> bool:
+    """Pass-through on any parse failure (apertus_ner_chunk.py:191-192)."""
+    if doc_date is None:
+        return True
+    birth = _parse_year(person.get("birthyear"))
+    death = _parse_year(person.get("deathyear"))
+    window = timedelta(days=DATE_WINDOW_DAYS)
+    if death is not None:
+        try:
+            if date(death, 12, 31) + window < doc_date:
+                return False  # died > 20y before the document
+        except ValueError:
+            pass
+    if birth is not None:
+        try:
+            if date(birth, 1, 1) + window > doc_date:
+                return False  # born < 20y before the document
+        except ValueError:
+            pass
+    return True
+
+
+# --- J1 + F5/F6/F7/F11 + J5-replacement: linking -----------------------------
+
+_ROLE_HINTS = {
+    # role keyword (lowercased) appearing in chunk text → gazetteer role it
+    # must overlap with; deterministic stand-in for the LLM role check (J5)
+    "bundesrat": "Bundesrat",
+    "conseiller": "Bundesrat",
+    "jurist": "Jurist",
+    "general": "General",
+    "direktor": "Direktor",
+    "professor": "Professor",
+}
+
+
+def link_mentions(mentions: list[dict], index: GazetteerIndex,
+                  doc_date: date | None, chunk_text: str) -> list[dict]:
+    """Link mentions to gazetteer rows; returns edge rows.
+
+    Per mention: block on last token → token_sort_ratio ≥ 85 → (PER only)
+    date plausibility + role-consistency → URL-prefix guard → best candidate
+    by (score desc, identifier asc) — the deterministic analogue of the
+    reference's hybrid-search top-k + filters (apertus_ner_chunk.py:134-232).
+    """
+    chunk_lower = chunk_text.lower()
+    hinted_roles = {role for kw, role in _ROLE_HINTS.items()
+                    if kw in chunk_lower}
+    edges = []
+    for m in mentions:
+        toks = full_process(m["mention"]).split()
+        if not toks:
+            continue
+        block_key = toks[-1]
+        if m["entity_type"] == "PER":
+            cands = index.person_block.get(block_key, [])
+            scored = []
+            for c in cands:
+                score = token_sort_ratio(m["mention"], c.get("name", ""))
+                if len(toks) == 1:
+                    # single last name: compare against the lemma instead
+                    score = max(score, token_sort_ratio(m["mention"],
+                                                        c.get("lemma", "")))
+                if score < FUZZ_THRESHOLD:
+                    continue
+                if not person_date_plausible(c, doc_date):
+                    continue
+                roles = c.get("roles") or []
+                if hinted_roles and roles and not (hinted_roles
+                                                   & set(roles)):
+                    continue
+                if not str(c.get("url", "")).startswith(PERSON_URL_PREFIX):
+                    continue
+                scored.append((score, c))
+            best = _best(scored)
+            if best is not None:
+                score, c = best
+                edges.append(_edge(m, "hasSubject", c, score))
+        elif m["entity_type"] == "LOC":
+            best = _match_multiname(m, index.place_block.get(block_key, []),
+                                    PLACE_URL_PREFIX)
+            if best is not None:
+                score, c = best
+                edges.append(_edge(m, "hasPlace", c, score))
+        elif m["entity_type"] == "ORG":
+            best = _match_multiname(m, index.org_block.get(block_key, []),
+                                    ORG_URL_PREFIX)
+            if best is not None:
+                score, c = best
+                edges.append(_edge(m, "hasSubject", c, score))
+    return edges
+
+
+def _match_multiname(m: dict, cands: list[dict], url_prefix: str):
+    scored = []
+    for c in cands:
+        score = max(
+            token_sort_ratio(m["mention"], c.get(k) or "")
+            for k in ("name_de", "name_fr", "name_it")
+        )
+        if score < FUZZ_THRESHOLD:
+            continue
+        if not str(c.get("url", "")).startswith(url_prefix):
+            continue
+        scored.append((score, c))
+    return _best(scored)
+
+
+def _best(scored: list):
+    if not scored:
+        return None
+    return sorted(
+        scored,
+        key=lambda sc: (-sc[0], str(sc[1].get("identifier", "")),
+                        str(sc[1].get("url", ""))),
+    )[0]
+
+
+def _edge(m: dict, predicate: str, cand: dict, score: int) -> dict:
+    return {
+        "mention": m["mention"],
+        "entity_type": m["entity_type"],
+        "span_start": m["span_start"],
+        "span_end": m["span_end"],
+        "predicate": predicate,
+        "matched_url": str(cand.get("url", "")),
+        "matched_name": str(cand.get("name")
+                            or cand.get("name_de") or ""),
+        "fuzzy_score": int(score),
+    }
+
+
+__all__ = ["GazetteerIndex", "reduce_person_mentions",
+           "person_date_plausible", "link_mentions", "DATE_WINDOW_DAYS"]

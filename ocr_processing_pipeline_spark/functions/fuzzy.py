@@ -1,0 +1,49 @@
+"""Pinned fuzzy string ratios (stdlib difflib; deterministic).
+
+The reference mixes two rapidfuzz ratios: ``fuzz.ratio`` for the last-name
+reduce (apertus_ner_chunk.py:111) and ``fuzz.token_sort_ratio`` for
+gazetteer candidate filtering (apertus_ner_chunk.py:174). We preserve the
+distinction but pin ONE implementation (SURVEY §7 hard part 4): the classic
+SequenceMatcher-based formula ``100 * 2*M / (len(a)+len(b))`` rounded to the
+nearest int, with the standard full_process normalization (lowercase, strip
+non-alphanumeric runs to single spaces).
+
+Thresholds mirror the reference's env-tunable defaults
+(apertus_ner_chunk.py:27-28): FUZZ=85 for linking, FUZZ_SINGLE=80 for the
+single-name reduce.
+"""
+
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+
+FUZZ_THRESHOLD = 85
+FUZZ_SINGLE_THRESHOLD = 80
+
+_NON_ALNUM_RE = re.compile(r"[^\w]+", re.UNICODE)
+
+
+def full_process(s: str) -> str:
+    return _NON_ALNUM_RE.sub(" ", s.lower()).strip()
+
+
+def ratio(a: str, b: str) -> int:
+    a, b = full_process(a), full_process(b)
+    if not a and not b:
+        return 100
+    if not a or not b:
+        return 0
+    m = SequenceMatcher(None, a, b, autojunk=False)
+    matches = sum(tr.size for tr in m.get_matching_blocks())
+    return int(round(200.0 * matches / (len(a) + len(b))))
+
+
+def token_sort_ratio(a: str, b: str) -> int:
+    a_sorted = " ".join(sorted(full_process(a).split()))
+    b_sorted = " ".join(sorted(full_process(b).split()))
+    return ratio(a_sorted, b_sorted)
+
+
+__all__ = ["ratio", "token_sort_ratio", "full_process",
+           "FUZZ_THRESHOLD", "FUZZ_SINGLE_THRESHOLD"]

@@ -1,0 +1,87 @@
+"""Extraction stage: pages → docs (mapInPandas over Arrow batches).
+
+The single vectorized UDF stage of the north rule: batched HTML boilerplate
+stripping + PDF/layout parsing. The UDF body is a thin loop over the Arrow
+batch that calls the deterministic oracle ``extractor.core.extract_page`` —
+identical semantics to the single-threaded pytest oracle by construction.
+
+Plan shape (checked by tests/test_plans.py): one shuffle-free stage —
+parquet scan (column-pruned) → ArrowEvalPython/MapInPandas → project.
+``doc_id = xxhash64(url)`` is computed JVM-side (codegen), not in Python.
+
+Replaces: the reference's per-document HTTP fetch + sequential /process
+handler (Data/OCR_data_crawler.py:58-80;
+lora_chunking_container/app/lora_chunking_api.py:243-269).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..extractor.core import extract_page
+from ..extractor.textproc import detect_lang, token_count
+
+# Spans are emitted as arrays of structs so downstream stages and the parity
+# suite can check monotone, in-bounds offsets (FIXTURES.md §3 invariants).
+DOCS_UDF_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, detected_lang string, "
+    "text string, token_length int, failure_code string, "
+    "content_kind string, n_blocks_total int, n_blocks_kept int, "
+    "spans array<struct<start:long,end:long>>"
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "url": pdf["url"],
+            "warc_ts": pdf["warc_ts"],
+            "lang": pdf["lang"],
+            "detected_lang": [],
+            "text": [],
+            "token_length": [],
+            "failure_code": [],
+            "content_kind": [],
+            "n_blocks_total": [],
+            "n_blocks_kept": [],
+            "spans": [],
+        }
+        for html, pre_text in zip(pdf["html"], pdf["text"]):
+            res = extract_page(bytes(html) if html is not None else None,
+                               pre_text)
+            out["text"].append(res.text)
+            out["token_length"].append(token_count(res.text))
+            out["failure_code"].append(res.failure_code)
+            out["content_kind"].append(res.content_kind)
+            out["n_blocks_total"].append(res.n_blocks_total)
+            out["n_blocks_kept"].append(res.n_blocks_kept)
+            out["spans"].append(
+                [{"start": s, "end": e} for s, e in res.spans])
+            out["detected_lang"].append(detect_lang(res.text))
+        yield pd.DataFrame(out)
+
+
+def extract_docs(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → docs table.
+
+    Column pruning: only the five input columns are read; Catalyst pushes
+    the projection into the parquet scan.
+    """
+    docs = (
+        pages
+        .select("url", "warc_ts", "html", "text", "lang")
+        .mapInPandas(_extract_batches, schema=DOCS_UDF_SCHEMA)
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+    return docs.select(
+        "doc_id", "url", "warc_ts", "lang", "detected_lang", "text",
+        "token_length", "failure_code", "content_kind",
+        "n_blocks_total", "n_blocks_kept", "spans",
+    )
+
+
+__all__ = ["extract_docs", "DOCS_UDF_SCHEMA"]

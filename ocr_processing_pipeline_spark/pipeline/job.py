@@ -1,0 +1,140 @@
+"""End-to-end extraction job: pages → docs + chunks + mentions + edges.
+
+Partitioning strategy (north rule: explicit skew handling + url-hash range
+partitioning + AQE):
+
+- The corpus is host-skewed (one host ≈ 50% of rows, FIXTURES.md §1). A
+  naive ``repartition(host)`` would put half the corpus in one task. We
+  repartition on the **salted url-hash bucket** —
+  ``pmod(xxhash64(url), n_buckets)`` — which is uniform regardless of host
+  skew (xxhash64 of distinct urls ≈ uniform), and is simultaneously the
+  resumability commit unit (lineage.py). Per-doc cost skew (a giant page)
+  is bounded by the Arrow batch cap (session.py) + AQE.
+- All three derived tables are computed from ONE pass over pages: extract →
+  chunk → ner are narrow (mapInPandas) transforms, so the only shuffle in
+  the whole job is the single repartition to n_buckets, reused by every
+  write (docs/chunks/edges inherit the bucket partitioning).
+- Gazetteers are broadcast (J1) — no shuffle for the linking "join".
+
+This file is also the ``spark-submit --py-files`` entry point:
+
+    python -m ocr_processing_pipeline_spark.pipeline.job \
+        --pages .../pages.parquet --gazetteers-dir ... --out ... [--cpus N]
+
+(tools/package_pyfiles.py builds the zip for --py-files.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import chunk as chunk_mod
+from . import extract as extract_mod
+from . import lineage
+from . import ner as ner_mod
+
+DEFAULT_N_BUCKETS = 64
+
+
+def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
+                 out_dir: str, n_buckets: int = DEFAULT_N_BUCKETS,
+                 resume: bool = True,
+                 fail_after_buckets: int | None = None) -> dict:
+    """Run (or resume) the full pipeline; returns per-table row counts.
+
+    ``fail_after_buckets`` processes only that many remaining buckets — the
+    hook the resume test uses to simulate a mid-run crash.
+    """
+    checkpoint_path = os.path.join(out_dir, "checkpoint")
+    pages = spark.read.parquet(pages_path)
+
+    todo = (lineage.remaining_pages(spark, pages, checkpoint_path, "docs",
+                                    n_buckets)
+            if resume else lineage.with_bucket(pages, n_buckets))
+    if fail_after_buckets is not None:
+        some = [r.bucket for r in
+                todo.select("bucket").distinct()
+                    .orderBy("bucket").limit(fail_after_buckets).collect()]
+        todo = todo.filter(F.col("bucket").isin(some))
+
+    # buckets touched by THIS run (cheap job: pruned scan + hash only)
+    run_buckets = [r.bucket for r in
+                   todo.select("bucket").distinct().collect()]
+    if not run_buckets:
+        return {"docs": 0, "chunks": 0, "edges": 0, "checkpoint": 0,
+                "skipped": "nothing to do (all buckets committed)"}
+
+    # ONE shuffle: uniform url-hash bucket repartition (skew-proof).
+    todo = todo.repartition(min(n_buckets, len(run_buckets)), "bucket")
+
+    gaz_bc = ner_mod.load_gazetteers(
+        spark,
+        os.path.join(gazetteers_dir, "persons.parquet"),
+        os.path.join(gazetteers_dir, "places.parquet"),
+        os.path.join(gazetteers_dir, "orgs.parquet"))
+
+    docs = extract_mod.extract_docs(todo).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+    docs_path = os.path.join(out_dir, "docs")
+    lineage.write_partitioned(docs, docs_path)
+
+    # chunk + ner read back the just-written docs for THIS run's buckets:
+    # narrow scans (partition-pruned on bucket) — extraction runs exactly
+    # once, never recomputed for downstream stages.
+    docs_this_run = spark.read.parquet(docs_path).filter(
+        F.col("bucket").isin(run_buckets))
+
+    chunks = chunk_mod.chunk_docs(docs_this_run).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+    chunks_path = os.path.join(out_dir, "chunks")
+    lineage.write_partitioned(chunks, chunks_path)
+
+    chunks_this_run = spark.read.parquet(chunks_path).filter(
+        F.col("bucket").isin(run_buckets))
+    edges = ner_mod.link_entities(chunks_this_run, gaz_bc).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+    edges_path = os.path.join(out_dir, "edges")
+    lineage.write_partitioned(edges, edges_path)
+
+    # lineage/metrics rows LAST (commit point) — crash before this line ⇒
+    # buckets get reprocessed and dynamically overwritten next run.
+    ckpt = lineage.checkpoint_rows_with_failures(docs_this_run, "docs")
+    lineage.append_checkpoint(ckpt, checkpoint_path)
+
+    return {
+        "docs": spark.read.parquet(docs_path).count(),
+        "chunks": spark.read.parquet(chunks_path).count(),
+        "edges": spark.read.parquet(edges_path).count(),
+        "checkpoint": spark.read.parquet(checkpoint_path).count(),
+    }
+
+
+def main(argv=None):
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--gazetteers-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-buckets", type=int, default=DEFAULT_N_BUCKETS)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("extraction_job", cpus=args.cpus)
+    t0 = time.time()
+    counts = run_pipeline(spark, args.pages, args.gazetteers_dir, args.out,
+                          n_buckets=args.n_buckets,
+                          resume=not args.no_resume)
+    elapsed = time.time() - t0
+    print(json.dumps({"elapsed_sec": round(elapsed, 2), **counts}))
+
+
+if __name__ == "__main__":
+    main()
