@@ -23,7 +23,7 @@ Spark stage (pipeline/chunk.py) and pytest.
 
 from __future__ import annotations
 
-from .textproc import split_sentences, tokenize
+from .textproc import split_sentences, token_spans, tokenize
 
 CHUNK_TOKEN_LIMIT = 512
 WINDOW_TOKEN_LIMIT = 8192
@@ -31,7 +31,13 @@ WINDOW_OVERLAP = 256
 
 
 def _sentence_records(text: str) -> list[dict]:
-    """Sentences with token counts and char spans into ``text``."""
+    """Sentences with token counts and char spans into ``text``.
+
+    A single "sentence" longer than the chunk budget (punctuation-free web
+    page, minified junk) is hard-split at token boundaries so the ≤512
+    invariant holds unconditionally — a web-scale robustness addition over
+    the reference, which never sees such input (clean OCR text).
+    """
     recs = []
     cursor = 0
     for sent, starts_para in split_sentences(text):
@@ -40,13 +46,24 @@ def _sentence_records(text: str) -> list[dict]:
             start = cursor
         end = start + len(sent)
         cursor = end
-        recs.append({
-            "sent": sent,
-            "starts_para": starts_para,
-            "n_tokens": len(tokenize(sent)),
-            "start": start,
-            "end": end,
-        })
+        toks = tokenize(sent)
+        if len(toks) <= CHUNK_TOKEN_LIMIT:
+            recs.append({"sent": sent, "starts_para": starts_para,
+                         "n_tokens": len(toks), "start": start, "end": end})
+            continue
+        spans = token_spans(sent)
+        for piece_no, i in enumerate(range(0, len(spans),
+                                           CHUNK_TOKEN_LIMIT)):
+            piece = spans[i:i + CHUNK_TOKEN_LIMIT]
+            p_start = start + piece[0][1]
+            p_end = start + piece[-1][2]
+            recs.append({
+                "sent": sent[piece[0][1]:piece[-1][2]],
+                "starts_para": starts_para and piece_no == 0,
+                "n_tokens": len(piece),
+                "start": p_start,
+                "end": p_end,
+            })
     return recs
 
 

@@ -44,6 +44,12 @@ def token_count(text: str) -> int:
     return len(_TOKEN_RE.findall(text))
 
 
+def token_spans(text: str) -> list[tuple[str, int, int]]:
+    """Tokens with (start, end) char offsets."""
+    return [(m.group(0), m.start(), m.end())
+            for m in _TOKEN_RE.finditer(text)]
+
+
 def _fix_abbrev_splits(parts: list[str]) -> list[str]:
     """Re-join splits made right after a known abbreviation."""
     out: list[str] = []

@@ -1,0 +1,58 @@
+"""Resumability: partial commit → resume → no duplicates, full coverage.
+
+Replaces the reference's processed_documents.txt semantics
+(entity_extractor/apertus_ner/orchestrator.py:38-43) with the checkpoint
+anti-join — SURVEY §5.2 test 5.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_processing_pipeline_spark.pipeline.job import run_pipeline
+
+N_BUCKETS = 8
+
+
+def test_partial_then_resume(spark, corpus_dir, tmp_path):
+    out = str(tmp_path / "out")
+    pages_path = f"{corpus_dir}/pages.parquet"
+    n_pages = spark.read.parquet(pages_path).count()
+
+    # run 1: process only 3 buckets, then "crash"
+    c1 = run_pipeline(spark, pages_path, corpus_dir, out,
+                      n_buckets=N_BUCKETS, fail_after_buckets=3)
+    assert 0 < c1["docs"] < n_pages
+    assert c1["checkpoint"] == 3
+
+    # run 2: resume — must process ONLY the remaining buckets
+    c2 = run_pipeline(spark, pages_path, corpus_dir, out,
+                      n_buckets=N_BUCKETS)
+    assert c2["docs"] == n_pages
+    assert c2["checkpoint"] == N_BUCKETS
+
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    # no duplicates, full coverage
+    assert docs.count() == n_pages
+    assert docs.select("url").distinct().count() == n_pages
+
+    # run 3: everything committed → no-op
+    c3 = run_pipeline(spark, pages_path, corpus_dir, out,
+                      n_buckets=N_BUCKETS)
+    assert c3["docs"] == 0 and "skipped" in c3
+    # and the stored tables are untouched
+    assert spark.read.parquet(os.path.join(out, "docs")).count() == n_pages
+
+
+def test_idempotent_rerun_no_resume(spark, corpus_dir, tmp_path):
+    """Force-reprocessing everything must not duplicate rows (dynamic
+    partition overwrite) — idempotent re-append guard, SURVEY §7.6."""
+    out = str(tmp_path / "out2")
+    pages_path = f"{corpus_dir}/pages.parquet"
+    run_pipeline(spark, pages_path, corpus_dir, out, n_buckets=N_BUCKETS)
+    run_pipeline(spark, pages_path, corpus_dir, out, n_buckets=N_BUCKETS,
+                 resume=False)
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    n_pages = spark.read.parquet(pages_path).count()
+    assert docs.count() == n_pages
+    assert docs.groupBy("url").count().filter(F.col("count") > 1).count() == 0
