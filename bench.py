@@ -1,0 +1,64 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Times every registered query (plans/queries.py) by executing its full plan
+with the no-op sink (no driver collect), plus the flagship extraction
+pipeline over the synthetic pages corpus; reports per-query seconds, total,
+and extraction docs/s (the BASELINE.md headline — reference: 0.062 docs/s
+sequential, Test_Logs/emissions_per_doc.csv).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_processing_pipeline_spark.plans.queries import (  # noqa: E402
+    QUERIES, pages_corpus_dir)
+from ocr_processing_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_label = os.path.basename(os.path.normpath(sf_dir))
+
+    spark = get_spark("bench", cpus=cpus)
+    # warm the JVM + the synthetic corpus cache before timing
+    corpus = pages_corpus_dir(sf_dir)
+    n_pages = spark.read.parquet(
+        os.path.join(corpus, "pages.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(QUERIES.items()):
+        t0 = time.time()
+        _run(q.fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    extract_sec = timings.get("pipeline_extract_docs")
+    docs_per_sec = round(n_pages / extract_sec, 2) if extract_sec else None
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_label,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "extraction_docs_per_sec": docs_per_sec,
+        "extraction_corpus_pages": n_pages,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,8 @@ from __future__ import annotations
 from datetime import date, timedelta
 
 from ..functions.fuzzy import (FUZZ_SINGLE_THRESHOLD, FUZZ_THRESHOLD,
-                               full_process, ratio, token_sort_ratio)
+                               full_process, ratio, ratio_presorted,
+                               sort_tokens)
 from .textproc import tokenize
 
 DATE_WINDOW_DAYS = 7300  # apertus_ner_chunk.py:186,195
@@ -64,24 +65,38 @@ class GazetteerIndex:
         for o in orgs:
             for key in ("name_de", "name_fr", "name_it"):
                 self._add(o.get(key, ""), "ORG")
-        # blocked candidate index for linking: lowercased last name token
-        self.person_block: dict[str, list[dict]] = {}
+        # blocked candidate index for linking: lowercased last name token.
+        # Entries carry the PRE-SORTED normalized surface forms so the
+        # fuzzy stage never re-normalizes a gazetteer name per comparison.
+        self.person_block: dict[str, list[tuple]] = {}
         for p in persons:
             toks = full_process(p.get("name", "")).split()
             if toks:
-                self.person_block.setdefault(toks[-1], []).append(p)
-        self.place_block: dict[str, list[dict]] = {}
+                self.person_block.setdefault(toks[-1], []).append(
+                    (p, sort_tokens(p.get("name", "")),
+                     sort_tokens(p.get("lemma", ""))))
+        self.place_block: dict[str, list[tuple]] = {}
         for pl in places:
-            for key in ("name_de", "name_fr", "name_it"):
-                toks = full_process(pl.get(key, "")).split()
-                if toks:
-                    self.place_block.setdefault(toks[-1], []).append(pl)
-        self.org_block: dict[str, list[dict]] = {}
+            forms = tuple(sort_tokens(pl.get(k) or "")
+                          for k in ("name_de", "name_fr", "name_it"))
+            seen_toks = set()
+            for k in ("name_de", "name_fr", "name_it"):
+                toks = full_process(pl.get(k, "")).split()
+                if toks and toks[-1] not in seen_toks:
+                    seen_toks.add(toks[-1])
+                    self.place_block.setdefault(toks[-1], []).append(
+                        (pl, forms))
+        self.org_block: dict[str, list[tuple]] = {}
         for o in orgs:
-            for key in ("name_de", "name_fr", "name_it"):
-                toks = full_process(o.get(key, "")).split()
-                if toks:
-                    self.org_block.setdefault(toks[-1], []).append(o)
+            forms = tuple(sort_tokens(o.get(k) or "")
+                          for k in ("name_de", "name_fr", "name_it"))
+            seen_toks = set()
+            for k in ("name_de", "name_fr", "name_it"):
+                toks = full_process(o.get(k, "")).split()
+                if toks and toks[-1] not in seen_toks:
+                    seen_toks.add(toks[-1])
+                    self.org_block.setdefault(toks[-1], []).append(
+                        (o, forms))
 
     def _add(self, surface: str, etype: str):
         toks = full_process(surface).split()
@@ -204,70 +219,93 @@ _ROLE_HINTS = {
 }
 
 
+def chunk_role_hints(chunk_text: str) -> frozenset:
+    chunk_lower = chunk_text.lower()
+    return frozenset(role for kw, role in _ROLE_HINTS.items()
+                     if kw in chunk_lower)
+
+
+def link_single(mention: str, entity_type: str, index: GazetteerIndex,
+                doc_date: date | None, hinted_roles: frozenset):
+    """Link one (mention, type): returns (predicate, candidate, score) or
+    None. Deterministic — safe to memoize on exactly these arguments
+    (pipeline/ner.py does, since web-text mention frequency is Zipfian).
+    """
+    toks = full_process(mention).split()
+    if not toks:
+        return None
+    block_key = toks[-1]
+    m_sorted = " ".join(sorted(toks))
+    if entity_type == "PER":
+        cands = index.person_block.get(block_key, [])
+        scored = []
+        for c, name_sorted, lemma_sorted in cands:
+            score = ratio_presorted(m_sorted, name_sorted,
+                                    min_score=FUZZ_THRESHOLD)
+            if len(toks) == 1:
+                # single last name: compare against the lemma instead
+                score = max(score, ratio_presorted(
+                    m_sorted, lemma_sorted, min_score=FUZZ_THRESHOLD))
+            if score < FUZZ_THRESHOLD:
+                continue
+            if not person_date_plausible(c, doc_date):
+                continue
+            roles = c.get("roles") or []
+            if hinted_roles and roles and not (hinted_roles & set(roles)):
+                continue
+            if not str(c.get("url", "")).startswith(PERSON_URL_PREFIX):
+                continue
+            scored.append((score, c))
+        best = _best(scored)
+        return None if best is None else ("hasSubject",) + best[::-1]
+    if entity_type == "LOC":
+        best = _match_multiname_s(m_sorted, index.place_block.get(
+            block_key, []), PLACE_URL_PREFIX)
+        return None if best is None else ("hasPlace",) + best[::-1]
+    if entity_type == "ORG":
+        best = _match_multiname_s(m_sorted, index.org_block.get(
+            block_key, []), ORG_URL_PREFIX)
+        return None if best is None else ("hasSubject",) + best[::-1]
+    return None
+
+
 def link_mentions(mentions: list[dict], index: GazetteerIndex,
-                  doc_date: date | None, chunk_text: str) -> list[dict]:
+                  doc_date: date | None, chunk_text: str,
+                  memo: dict | None = None) -> list[dict]:
     """Link mentions to gazetteer rows; returns edge rows.
 
     Per mention: block on last token → token_sort_ratio ≥ 85 → (PER only)
     date plausibility + role-consistency → URL-prefix guard → best candidate
     by (score desc, identifier asc) — the deterministic analogue of the
     reference's hybrid-search top-k + filters (apertus_ner_chunk.py:134-232).
+
+    ``memo`` (optional dict) caches per-(mention, type, date, hints) link
+    results across chunks — the hot path for repeated mentions.
     """
-    chunk_lower = chunk_text.lower()
-    hinted_roles = {role for kw, role in _ROLE_HINTS.items()
-                    if kw in chunk_lower}
+    hinted_roles = chunk_role_hints(chunk_text)
     edges = []
     for m in mentions:
-        toks = full_process(m["mention"]).split()
-        if not toks:
-            continue
-        block_key = toks[-1]
-        if m["entity_type"] == "PER":
-            cands = index.person_block.get(block_key, [])
-            scored = []
-            for c in cands:
-                score = token_sort_ratio(m["mention"], c.get("name", ""))
-                if len(toks) == 1:
-                    # single last name: compare against the lemma instead
-                    score = max(score, token_sort_ratio(m["mention"],
-                                                        c.get("lemma", "")))
-                if score < FUZZ_THRESHOLD:
-                    continue
-                if not person_date_plausible(c, doc_date):
-                    continue
-                roles = c.get("roles") or []
-                if hinted_roles and roles and not (hinted_roles
-                                                   & set(roles)):
-                    continue
-                if not str(c.get("url", "")).startswith(PERSON_URL_PREFIX):
-                    continue
-                scored.append((score, c))
-            best = _best(scored)
-            if best is not None:
-                score, c = best
-                edges.append(_edge(m, "hasSubject", c, score))
-        elif m["entity_type"] == "LOC":
-            best = _match_multiname(m, index.place_block.get(block_key, []),
-                                    PLACE_URL_PREFIX)
-            if best is not None:
-                score, c = best
-                edges.append(_edge(m, "hasPlace", c, score))
-        elif m["entity_type"] == "ORG":
-            best = _match_multiname(m, index.org_block.get(block_key, []),
-                                    ORG_URL_PREFIX)
-            if best is not None:
-                score, c = best
-                edges.append(_edge(m, "hasSubject", c, score))
+        key = (m["mention"], m["entity_type"], doc_date, hinted_roles)
+        if memo is not None and key in memo:
+            res = memo[key]
+        else:
+            res = link_single(m["mention"], m["entity_type"], index,
+                              doc_date, hinted_roles)
+            if memo is not None:
+                memo[key] = res
+        if res is not None:
+            predicate, cand, score = res
+            edges.append(_edge(m, predicate, cand, score))
     return edges
 
 
-def _match_multiname(m: dict, cands: list[dict], url_prefix: str):
+def _match_multiname_s(m_sorted: str, cands: list[tuple],
+                       url_prefix: str):
     scored = []
-    for c in cands:
-        score = max(
-            token_sort_ratio(m["mention"], c.get(k) or "")
-            for k in ("name_de", "name_fr", "name_it")
-        )
+    for c, forms in cands:
+        score = max(ratio_presorted(m_sorted, f,
+                                    min_score=FUZZ_THRESHOLD)
+                    for f in forms)
         if score < FUZZ_THRESHOLD:
             continue
         if not str(c.get("url", "")).startswith(url_prefix):
@@ -301,4 +339,5 @@ def _edge(m: dict, predicate: str, cand: dict, score: int) -> dict:
 
 
 __all__ = ["GazetteerIndex", "reduce_person_mentions",
-           "person_date_plausible", "link_mentions", "DATE_WINDOW_DAYS"]
+           "person_date_plausible", "link_mentions", "link_single",
+           "chunk_role_hints", "DATE_WINDOW_DAYS"]

@@ -39,11 +39,35 @@ def ratio(a: str, b: str) -> int:
     return int(round(200.0 * matches / (len(a) + len(b))))
 
 
+def sort_tokens(s: str) -> str:
+    """full_process + token sort — the precomputable half of
+    token_sort_ratio (gazetteer names are normalized once at index build,
+    not once per comparison)."""
+    return " ".join(sorted(full_process(s).split()))
+
+
+def ratio_presorted(a_sorted: str, b_sorted: str,
+                    min_score: int = 0) -> int:
+    """ratio() on already-normalized strings, with two exact-semantics
+    fast paths: equality → 100, and a length upper bound
+    (matches ≤ min(len)) that skips SequenceMatcher when the best
+    possible score is below ``min_score``."""
+    if a_sorted == b_sorted:
+        return 100
+    la, lb = len(a_sorted), len(b_sorted)
+    if not la or not lb:
+        return 0
+    upper = int(round(200.0 * min(la, lb) / (la + lb)))
+    if upper < min_score:
+        return 0
+    m = SequenceMatcher(None, a_sorted, b_sorted, autojunk=False)
+    matches = sum(tr.size for tr in m.get_matching_blocks())
+    return int(round(200.0 * matches / (la + lb)))
+
+
 def token_sort_ratio(a: str, b: str) -> int:
-    a_sorted = " ".join(sorted(full_process(a).split()))
-    b_sorted = " ".join(sorted(full_process(b).split()))
-    return ratio(a_sorted, b_sorted)
+    return ratio_presorted(sort_tokens(a), sort_tokens(b))
 
 
-__all__ = ["ratio", "token_sort_ratio", "full_process",
-           "FUZZ_THRESHOLD", "FUZZ_SINGLE_THRESHOLD"]
+__all__ = ["ratio", "token_sort_ratio", "full_process", "sort_tokens",
+           "ratio_presorted", "FUZZ_THRESHOLD", "FUZZ_SINGLE_THRESHOLD"]

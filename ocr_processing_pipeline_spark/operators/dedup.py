@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-conscious and expressed with built-in functions
+(JVM-side, codegen'd) — no Python in the hot path:
+
+- exact:        hash-groupBy on a normalized fingerprint (one shuffle)
+- MinHash+LSH:  shingle → k portable minhashes → bands → bucket self-join →
+                verified Jaccard (classic Broder'97 / MMDS ch.3 pipeline);
+                the band join touches only candidate buckets, never the
+                full O(n²) cross product
+- SimHash:      64-bit bitwise-majority signature (Charikar'02), hamming
+                buckets for near-dup candidates
+- n-gram Jaccard: exact verified containment via shingle-inverted-index
+                join — the verification stage LSH feeds into
+
+Portability note: minhash/fingerprint use md5 (present in both Spark and
+DuckDB) so the driver's DuckDB oracle can replicate them exactly;
+xxhash64 would be faster but is Spark-only. At 100 TB the md5 cost is
+still tiny next to the shuffle it avoids.
+
+Reference analogue: first-seen-wins dedup over a full collection scan
+(Data/Weaviate/deduplicate.py:16-26, F10/A6 in SURVEY §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2
+
+
+def normalize_text(col):
+    """Whitespace-collapsed, lowercased — the dedup canonical form."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(col):
+    """Portable content fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """First-seen-wins exact dedup: keep min(key) per fingerprint."""
+    w = Window.partitionBy("fp").orderBy(key_col)
+    return (df
+            .withColumn("fp", fingerprint(F.col(text_col)))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("fp", "rn"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Duplicate groups: fingerprint, canonical (min key), group size ≥ 2."""
+    return (df
+            .groupBy(fingerprint(F.col(text_col)).alias("fp"))
+            .agg(F.min(key_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("group_size"))
+            .filter(F.col("group_size") >= 2))
+
+
+def shingles(df: DataFrame, text_col: str, key_col: str,
+             n: int = 3) -> DataFrame:
+    """(key, shingle) pairs: distinct word n-grams of normalized text.
+
+    Built-ins only: split → transform over a sequence of start offsets →
+    slice+concat — stays inside whole-stage codegen.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (df.select(F.col(key_col).alias("key"),
+                      F.explode(F.array_distinct(grams)).alias("shingle"))
+            .filter(F.length("shingle") > 0)
+            .distinct())
+
+
+def minhash_signatures(sh: DataFrame,
+                       num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    """(key, h0..h{k-1}): minhash per seeded md5 family (portable)."""
+    aggs = [F.min(F.md5(F.concat_ws(":", F.lit(str(i)), "shingle")))
+            .alias(f"h{i}") for i in range(num_hashes)]
+    return sh.groupBy("key").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame,
+                        num_hashes: int = DEFAULT_NUM_HASHES,
+                        band_size: int = DEFAULT_BAND_SIZE) -> DataFrame:
+    """Banding: keys sharing any band collide; returns (key_a < key_b)."""
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    *[F.col(f"h{b * band_size + j}")
+                      for j in range(band_size)])
+        for b in range(n_bands)])
+    banded = sig.select("key", F.explode(bands).alias("band"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, "band")
+            .filter(F.col("a.key") < F.col("b.key"))
+            .select(F.col("a.key").alias("key_a"),
+                    F.col("b.key").alias("key_b"))
+            .distinct())
+
+
+def jaccard_pairs(sh: DataFrame, min_jaccard: float,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Verified n-gram Jaccard over an inverted-index join.
+
+    With ``candidates`` (from LSH) the join is restricted to candidate
+    pairs — the 100 TB path. Without, it computes all co-shingled pairs
+    (small-data / oracle-comparable path). Either way no cross product:
+    only keys sharing ≥1 shingle ever meet.
+    """
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (a.join(b, "shingle")
+              .filter(F.col("a.key") < F.col("b.key"))
+              .groupBy(F.col("a.key").alias("key_a"),
+                       F.col("b.key").alias("key_b"))
+              .agg(F.count(F.lit(1)).alias("shared")))
+    if candidates is not None:
+        shared = shared.join(candidates, ["key_a", "key_b"], "left_semi")
+    sa = sizes.select(F.col("key").alias("key_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("key").alias("key_b"), F.col("n").alias("n_b"))
+    return (shared.join(sa, "key_a").join(sb, "key_b")
+            .withColumn(
+                "jaccard",
+                (F.col("shared")
+                 / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+                .cast("double"))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("key_a", "key_b", "shared", "n_a", "n_b", "jaccard"))
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
+                      n: int = 3, min_jaccard: float = 0.8,
+                      num_hashes: int = DEFAULT_NUM_HASHES,
+                      band_size: int = DEFAULT_BAND_SIZE) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH → verify."""
+    sh = shingles(df, text_col, key_col, n=n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes),
+                                num_hashes, band_size)
+    return jaccard_pairs(sh, min_jaccard, candidates=cands)
+
+
+# --- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """32-bit SimHash per key, built-ins only.
+
+    Per token: a 32-bit hash (first 8 hex chars of md5 → long via conv).
+    Per bit: majority vote over tokens (+1/-1), sign → bit. All vectorized
+    array ops inside codegen; one groupBy-free pass (per-row aggregate over
+    the token array).
+    """
+    toks = F.array_distinct(
+        F.split(normalize_text(F.col(text_col)), " "))
+    tok_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+        .cast("long"))
+    # bit b of h via arithmetic ((h div 2^b) mod 2): shiftright() needs a
+    # literal numBits, but b is a per-element Column here; 32-bit hashes
+    # are exact in doubles so pow(2, b) is safe.
+    bit_of = (lambda h, b:
+              (h.cast("double") / F.pow(F.lit(2.0), b)).cast("long") % 2)
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda b: F.aggregate(
+            tok_hash, F.lit(0),
+            lambda acc, h: acc + F.when(bit_of(h, b) == 1,
+                                        F.lit(1)).otherwise(F.lit(-1))))
+    sig = F.aggregate(
+        F.zip_with(bit_votes,
+                   F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+                   lambda v, b: F.when(
+                       v > 0, F.pow(F.lit(2.0), b).cast("long"))
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.select(F.col(key_col).alias("key"), sig.alias("simhash"))
+
+
+def simhash_candidates(sig: DataFrame, prefix_bits: int = 8) -> DataFrame:
+    """Hamming-bucket candidates: keys sharing the top prefix_bits."""
+    bucketed = sig.withColumn(
+        "bucket", F.shiftright("simhash", SIMHASH_BITS - prefix_bits))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (a.join(b, "bucket")
+            .filter(F.col("a.key") < F.col("b.key"))
+            .select(F.col("a.key").alias("key_a"),
+                    F.col("b.key").alias("key_b"),
+                    F.col("a.simhash").alias("sim_a"),
+                    F.col("b.simhash").alias("sim_b"))
+            .withColumn("hamming", F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
+
+
+__all__ = ["exact_dedup", "exact_dup_groups", "shingles",
+           "minhash_signatures", "lsh_candidate_pairs", "jaccard_pairs",
+           "minhash_lsh_dedup", "simhash", "simhash_candidates",
+           "fingerprint", "normalize_text"]

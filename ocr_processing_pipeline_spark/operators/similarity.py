@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Spark analogue of the reference's vector / hybrid search entry points
+(Query/search.py:46-94, Query/layered_search.py:74-104) — minus model
+inference (north rule): the embeddings are an input column.
+
+Two paths:
+- brute-force cosine top-k: built-in array math (zip_with + aggregate),
+  JVM-side, no UDF — the correctness baseline. O(n·d) per query; fine for
+  one query vector even at large n (single narrow pass + a top-k reduce).
+- LSH-bucketed ANN (random hyperplanes, Charikar'02): deterministic
+  hyperplanes derived from md5 so signatures are reproducible across runs
+  and cluster sizes; probe buckets within hamming radius. The 100 TB path:
+  candidate set ≈ n / 2^bits per probe instead of n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_to(query_vec: list, col):
+    """Column: cosine similarity of ``col`` (array) to a literal vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    casted = F.transform(col, lambda x: x.cast("double"))
+    return (_dot(casted, q) / (_norm(casted) * _norm(q)))
+
+
+def brute_force_topk(df: DataFrame, vec_col: str, key_col: str,
+                     query_vec: list, k: int = 10,
+                     round_to: int = 5) -> DataFrame:
+    """Exact cosine top-k; deterministic tie-break on key."""
+    return (df
+            .select(F.col(key_col).alias("key"),
+                    F.round(cosine_to(query_vec, F.col(vec_col)), round_to)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("key"))
+            .limit(k))
+
+
+# --- LSH ANN -----------------------------------------------------------------
+
+def _hyperplane(dim: int, bit: int) -> list:
+    """Deterministic pseudo-random hyperplane from md5 (no RNG state)."""
+    import hashlib
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane:{bit}:{d}".encode()).hexdigest()
+        # map 8 hex chars → [-1, 1)
+        vals.append(int(h[:8], 16) / 2**31 - 1.0)
+    return vals
+
+
+def lsh_signature(df: DataFrame, vec_col: str, key_col: str,
+                  n_bits: int = 8, dim: int | None = None) -> DataFrame:
+    """Random-hyperplane signature column 'sig' (int bucket id)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig = F.lit(0)
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, b)])
+        casted = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        bit = F.when(_dot(casted, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + F.shiftleft(bit, b)
+    return df.select(F.col(key_col).alias("key"),
+                     F.col(vec_col).alias("vec"), sig.alias("sig"))
+
+
+def ann_topk(df: DataFrame, vec_col: str, key_col: str, query_vec: list,
+             k: int = 10, n_bits: int = 8, hamming_radius: int = 1,
+             round_to: int = 5) -> DataFrame:
+    """ANN: probe LSH buckets within hamming radius of the query bucket,
+    exact cosine re-rank inside candidates. Recall grows with radius."""
+    import hashlib  # noqa: F401  (used indirectly via _hyperplane)
+    dim = len(query_vec)
+    sigs = lsh_signature(df, vec_col, key_col, n_bits=n_bits, dim=dim)
+    # query signature computed driver-side with the same planes
+    qsig = 0
+    for b in range(n_bits):
+        plane = _hyperplane(dim, b)
+        dot = sum(float(x) * p for x, p in zip(query_vec, plane))
+        if dot >= 0:
+            qsig |= 1 << b
+    probe = [s for s in range(2 ** n_bits)
+             if bin(s ^ qsig).count("1") <= hamming_radius]
+    cands = sigs.filter(F.col("sig").isin(probe))
+    return (cands
+            .select("key",
+                    F.round(cosine_to(query_vec, F.col("vec")), round_to)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("key"))
+            .limit(k))
+
+
+def label_centroids(df: DataFrame, vec_col: str, label_col: str,
+                    round_to: int = 5) -> DataFrame:
+    """Element-wise mean vector per label (posexplode + two-level agg)."""
+    return (df
+            .select(F.col(label_col).alias("label"),
+                    F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), round_to)
+                 .alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("pairs"))
+            .select("label",
+                    F.transform("pairs", lambda p: p.getField("m"))
+                    .alias("centroid")))
+
+
+__all__ = ["brute_force_topk", "ann_topk", "lsh_signature",
+           "label_centroids", "cosine_to"]

@@ -89,6 +89,10 @@ def link_entities(chunks: DataFrame, gaz_bc) -> DataFrame:
     def link_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extractor.ner import link_mentions
         idx = _get_index(gaz_bc)
+        # per-task memo: mention frequency is Zipfian, so most link
+        # decisions repeat; the cache turns O(chunks × fuzz) into
+        # O(distinct mentions × fuzz)
+        memo: dict = {}
         for pdf in batches:
             rows = []
             for doc_id, url, chunk_id, content, warc_ts in zip(
@@ -98,7 +102,8 @@ def link_entities(chunks: DataFrame, gaz_bc) -> DataFrame:
                             if warc_ts is not None and not pd.isna(warc_ts)
                             else None)
                 mentions = idx.scan(content)
-                for e in link_mentions(mentions, idx, doc_date, content):
+                for e in link_mentions(mentions, idx, doc_date, content,
+                                       memo=memo):
                     rows.append({
                         "doc_id": doc_id, "url": url, "chunk_id": chunk_id,
                         "subject": chunk_id,

@@ -1,0 +1,829 @@
+"""The query registry: every operator from SURVEY.md §2 as a runnable query.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL string the driver runs in DuckDB over the same
+parquet tables (views: region nation customer supplier part orders lineitem
+events documents embeddings). Column names/aliases match EXACTLY on both
+sides (the driver's compare sorts columns by name and hashes values).
+
+Pipeline queries (extraction/chunking/NER over the synthetic pages corpus)
+have no SQL oracle — the driver records a rows-only check; their real
+correctness gate is the pytest byte-identity suite.
+
+Float discipline: every float aggregate is rounded (2dp money, 5dp ratios)
+on BOTH sides so cross-engine summation order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]          # DuckDB oracle; None → rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, sql: Optional[str], doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = Query(fn=fn, sql=sql, doc=doc)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# =============================================================================
+# Text-analysis / training-data family (documents table)
+# =============================================================================
+
+@register(
+    "doc_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+               AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    """,
+    doc="A3/A4 token counting (whitespace tokens per doc)")
+def doc_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("int")
+        .alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"))
+
+
+@register(
+    "doc_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+               AS n_tokens,
+           ROUND(len(regexp_extract_all(text, '[^\\w\\s]'))
+                 / GREATEST(length(text), 1), 5) AS punct_ratio,
+           ROUND(len(regexp_extract_all(text, '[0-9]'))
+                 / GREATEST(length(text), 1), 5) AS digit_ratio,
+           (len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+            AND len(regexp_extract_all(text, '[^\\w\\s]'))
+                / GREATEST(length(text), 1) <= 0.3) AS keep
+    FROM documents
+    """,
+    doc="quality scoring: length/punct/digit ratios + keep gate")
+def doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    safe = F.greatest(n_chars, F.lit(1)).cast("double")
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]")) / safe
+    return d.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(punct, 5).alias("punct_ratio"),
+        F.round(F.regexp_count(t, F.lit(r"[0-9]")) / safe, 5)
+        .alias("digit_ratio"),
+        ((n_tokens >= 5) & (punct <= 0.3)).alias("keep"))
+
+
+_LANG_PATS = {
+    "de": r"\b(der|die|das|und|ist|nicht|mit|von|ein|eine)\b",
+    "fr": r"\b(le|la|les|et|est|une|pas|avec|dans|pour)\b",
+    "it": r"\b(il|la|le|che|è|una|non|con|di|per)\b",
+    "en": r"\b(the|and|is|not|with|of|to|in|for|that)\b",
+}
+
+_LANGID_SQL = """
+    WITH h AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '{de}')) AS hits_de,
+        len(regexp_extract_all(lower(text), '{fr}')) AS hits_fr,
+        len(regexp_extract_all(lower(text), '{it}')) AS hits_it,
+        len(regexp_extract_all(lower(text), '{en}')) AS hits_en
+      FROM documents)
+    SELECT doc_id,
+      CAST(hits_de AS INT) AS hits_de, CAST(hits_fr AS INT) AS hits_fr,
+      CAST(hits_it AS INT) AS hits_it, CAST(hits_en AS INT) AS hits_en,
+      CASE WHEN greatest(hits_de, hits_fr, hits_it, hits_en) = 0 THEN 'und'
+           WHEN hits_de = greatest(hits_de, hits_fr, hits_it, hits_en)
+               THEN 'de'
+           WHEN hits_fr = greatest(hits_de, hits_fr, hits_it, hits_en)
+               THEN 'fr'
+           WHEN hits_it = greatest(hits_de, hits_fr, hits_it, hits_en)
+               THEN 'it'
+           ELSE 'en' END AS lang_pred
+    FROM h
+""".format(**_LANG_PATS)
+
+
+@register("doc_langid", _LANGID_SQL,
+          doc="language-ID heuristic: argmax stopword hits (U2 analogue)")
+def doc_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    hits = {k: F.regexp_count(t, F.lit(p)) for k, p in _LANG_PATS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in ("de", "fr", "it", "en"):
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return d.select(
+        "doc_id",
+        *[hits[lang].cast("int").alias(f"hits_{lang}")
+          for lang in ("de", "fr", "it", "en")],
+        pred.alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint
+    FROM documents
+    """,
+    doc="document fingerprinting (portable md5 of normalized text)")
+def doc_fingerprint(spark, sf_dir):
+    from ..operators.text import doc_fingerprint as fp
+    return fp(_t(spark, sf_dir, "documents"), "text") \
+        .select("doc_id", "fingerprint")
+
+
+@register(
+    "dedup_stats",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                '\\s+', ' ', 'g'))) AS BIGINT) AS n_distinct
+    FROM documents GROUP BY source
+    """,
+    doc="exact dedup stats per source (hash-groupBy, F10/A6)")
+def dedup_stats(spark, sf_dir):
+    from ..operators.dedup import fingerprint
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct(fingerprint(F.col("text")))
+                 .cast("long").alias("n_distinct")))
+
+
+# shared shingle SQL fragment (3-gram word shingles of normalized text,
+# distinct per doc) — must mirror operators/dedup.shingles exactly
+_SHINGLES_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks,
+           LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1)))
+             AS g(i)
+      WHERE length(array_to_string(t[i:i+2], ' ')) > 0)
+"""
+
+
+@register(
+    "minhash_signatures",
+    _SHINGLES_SQL + """
+    SELECT doc_id,
+           min(md5('0:' || shingle)) AS h0,
+           min(md5('1:' || shingle)) AS h1,
+           min(md5('2:' || shingle)) AS h2,
+           min(md5('3:' || shingle)) AS h3
+    FROM sh GROUP BY doc_id
+    """,
+    doc="MinHash signatures (portable md5 min-hash family, k=4)")
+def minhash_signatures_q(spark, sf_dir):
+    from ..operators.dedup import minhash_signatures, shingles
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles(d, "text", "doc_id", n=3),
+                             num_hashes=4)
+    return sig.withColumnRenamed("key", "doc_id")
+
+
+@register(
+    "near_dup_jaccard",
+    _SHINGLES_SQL + """
+    , sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+                FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT key_a, key_b, shared,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 5)
+               AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = key_a
+    JOIN sizes sb ON sb.doc_id = key_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.1
+    """,
+    doc="n-gram Jaccard near-dup pairs (inverted-index join, verified)")
+def near_dup_jaccard(spark, sf_dir):
+    from ..operators.dedup import jaccard_pairs, shingles
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=3)
+    out = jaccard_pairs(sh, min_jaccard=0.1)
+    return out.select("key_a", "key_b", "shared", "n_a", "n_b",
+                      F.round("jaccard", 5).alias("jaccard"))
+
+
+@register(
+    "simhash_signatures",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ')) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g.tok), 1, 8))::BIGINT AS h
+      FROM toks, LATERAL unnest(t) AS g(tok)),
+    votes AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, LATERAL unnest(generate_series(0, 31)) AS b(b)
+      GROUP BY doc_id, b.b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc="SimHash 32-bit signatures (bitwise majority, Charikar'02)")
+def simhash_signatures_q(spark, sf_dir):
+    from ..operators.dedup import simhash
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id").withColumnRenamed("key", "doc_id")
+
+
+# =============================================================================
+# Similarity search (embeddings table)
+# =============================================================================
+
+@register(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id AS key,
+           ROUND(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 5)
+             AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, key ASC
+    LIMIT 10
+    """,
+    doc="brute-force cosine top-k ANN baseline (O1 + array math)")
+def embedding_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    from ..operators.similarity import brute_force_topk
+    return brute_force_topk(e.filter(F.col("vec_id") != 0),
+                            "embedding", "vec_id", qvec, k=10)
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    SELECT label,
+           CAST(pos - 1 AS INT) AS pos,
+           ROUND(avg(CAST(v AS DOUBLE)), 5) AS m
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+    doc="per-label centroid (element-wise mean over array column)")
+def embedding_label_centroids(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (e.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 5).alias("m"))
+            .select("label", F.col("pos").cast("int").alias("pos"), "m"))
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> x * x))), 5) AS l2_norm,
+           label
+    FROM embeddings
+    """,
+    doc="C12 analogue: vector math via built-in array ops")
+def embedding_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    casted = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(casted, lambda x: x * x),
+                              F.lit(0.0), lambda a, v: a + v))
+    return e.select("vec_id", F.round(norm, 5).alias("l2_norm"), "label")
+
+
+# =============================================================================
+# Relational operator family (TPC-H-ish tables) — SURVEY §2.2-2.8
+# =============================================================================
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 2) AS sum_qty,
+           ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(avg(l_quantity), 5) AS avg_qty,
+           ROUND(avg(l_discount), 5) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style multi-aggregate (A2-A4; partial+final hash agg)")
+def agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2)
+                 .alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 5).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 5).alias("avg_disc"),
+                 F.count(F.lit(1)).cast("long").alias("count_order")))
+
+
+@register(
+    "filtered_scan",
+    """
+    SELECT l_orderkey, l_partkey, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount > 0.05
+    """,
+    doc="F1/F2 projection+predicate (pushed to parquet scan)")
+def filtered_scan(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_discount") > 0.05))
+            .select("l_orderkey", "l_partkey",
+                    F.round("l_extendedprice", 2).alias("price")))
+
+
+@register(
+    "in_filter",
+    """
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('GERMANY', 'FRANCE', 'ITALY')
+    """,
+    doc="F3 IN-list filter + dimension join")
+def in_filter(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n),
+                   c.c_nationkey == n.n_nationkey)
+            .filter(F.col("n_name").isin("GERMANY", "FRANCE", "ITALY"))
+            .select("c_custkey", "c_name", "n_name"))
+
+
+@register(
+    "like_filter",
+    """
+    SELECT p_partkey, p_name, p_brand
+    FROM part WHERE p_name LIKE '%green%'
+    """,
+    doc="F4 LIKE wildcard filter (Query/page.py:89-93 analogue)")
+def like_filter(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.filter(F.col("p_name").contains("green"))
+            .select("p_partkey", "p_name", "p_brand"))
+
+
+@register(
+    "anti_join_resume",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="F9/T2 left-anti join (the resumability primitive)")
+def anti_join_resume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "semi_join_layered",
+    """
+    WITH top_cust AS (
+      SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey
+      ORDER BY total DESC, o_custkey ASC LIMIT 10)
+    SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT o_custkey FROM top_cust)
+    """,
+    doc="J4 two-phase coarse-to-fine semi-join (layered_search.py:74-104)")
+def semi_join_layered(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    top = (o.groupBy("o_custkey")
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+           .orderBy(F.desc("total"), F.asc("o_custkey")).limit(10))
+    return (o.join(F.broadcast(top.select("o_custkey")), "o_custkey",
+                   "left_semi")
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("price")))
+
+
+@register(
+    "join_orders_per_nation",
+    """
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="J2 equi-join chain + aggregate (Monitoring/aggregator.py:23-47)")
+def join_orders_per_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@register(
+    "broadcast_join_parts",
+    """
+    SELECT p_brand,
+           ROUND(sum(l_quantity), 2) AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+    doc="J1-shape: big fact ⨝ broadcast small dim + filter + agg")
+def broadcast_join_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="O1/W6 per-group top-k via row_number window")
+def window_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"), "rn"))
+
+
+@register(
+    "dedup_first_event",
+    """
+    SELECT * FROM (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+               AS INT) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    doc="F10 first-seen-wins dedup (deduplicate.py:16-26)")
+def dedup_first_event(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"),
+                                              F.asc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "ts", "event_type", "rn"))
+
+
+@register(
+    "change_detection",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes
+    FROM (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+    WHERE prev IS NULL OR event_type <> prev
+    GROUP BY user_id
+    """,
+    doc="W7 lag-based change detection (Monitoring/log_parser.py:23-35)")
+def change_detection(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("prev", F.lag("event_type").over(w))
+            .filter(F.col("prev").isNull()
+                    | (F.col("event_type") != F.col("prev")))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_changes")))
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           ROUND(c.value, 2) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="J3 as-of join: latest click before each error, per user "
+        "(Monitoring/log_parser.py:37-51)")
+def asof_join_events(spark, sf_dir):
+    from ..operators.asof import asof_join_backward
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "value")
+    joined = asof_join_backward(errors, clicks, on="user_id",
+                                left_ts="ts", right_ts="ts",
+                                value_cols=["value"])
+    return (joined.filter(F.col("value").isNotNull())
+            .select("event_id", "user_id", "ts",
+                    F.round("value", 2).alias("last_click_value")))
+
+
+@register(
+    "sorted_set_langs",
+    """
+    SELECT source,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    doc="O4/A5 sorted-set aggregate (apertus_ner_chunk.py:119)")
+def sorted_set_langs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_set("lang")))
+                 .alias("langs"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+@register(
+    "union_distinct_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    doc="T1 union + distinct (per-language result merge analogue)")
+def union_distinct_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           ROUND(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 5)
+               AS avg_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="C9 JSON parse of props column (from_json with schema)")
+def json_extract_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.avg(k), 5).alias("avg_k"),
+                 F.count(F.lit(1)).cast("long").alias("n")))
+
+
+@register(
+    "date_arithmetic",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           strftime(min(date_trunc('day', o_orderdate)
+                + INTERVAL 30 DAY), '%Y-%m-%d') AS earliest_due
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    doc="C6 date parse + interval arithmetic (date_sub/date_add)")
+def date_arithmetic(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter((F.col("o_orderdate") >= "1995-01-01")
+                     & (F.col("o_orderdate") < "1996-01-01"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.date_format(
+                     F.min(F.date_add(F.to_date("o_orderdate"), 30)),
+                     "yyyy-MM-dd").alias("earliest_due")))
+
+
+@register(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           regexp_split_to_array(trim(c_name), '\\s+')[-1] AS last_token,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR))
+               AS seg_nation
+    FROM customer
+    """,
+    doc="C3/C7/C11 string assembly: split/element_at/lpad/concat_ws")
+def string_functions(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.element_at(F.split(F.trim("c_name"), r"\s+"), -1)
+        .alias("last_token"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.concat_ws("|", "c_mktsegment",
+                    F.col("c_nationkey").cast("string")).alias("seg_nation"))
+
+
+@register(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           ROUND(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2)
+               AS qty_open,
+           ROUND(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2)
+               AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="pivot via conditional aggregation (guide: pivot/unpivot)")
+def pivot_linestatus(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.sum(F.when(F.col("l_linestatus") == "O",
+                                      F.col("l_quantity"))), 2)
+                 .alias("qty_open"),
+                 F.round(F.sum(F.when(F.col("l_linestatus") == "F",
+                                      F.col("l_quantity"))), 2)
+                 .alias("qty_filled")))
+
+
+@register(
+    "url_prefix_guard",
+    """
+    SELECT CASE WHEN event_type LIKE 'c%' THEN 'c-class'
+                WHEN event_type LIKE 'e%' THEN 'e-class'
+                ELSE 'other' END AS klass,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="F11 prefix-guard when/otherwise chains")
+def url_prefix_guard(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    klass = (F.when(F.col("event_type").startswith("c"), "c-class")
+             .when(F.col("event_type").startswith("e"), "e-class")
+             .otherwise("other"))
+    return (e.groupBy(klass.alias("klass"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+@register(
+    "fuzzy_levenshtein",
+    """
+    SELECT n1.n_name AS a, n2.n_name AS b,
+           CAST(levenshtein(n1.n_name, n2.n_name) AS INT) AS dist
+    FROM nation n1, nation n2
+    WHERE n1.n_name < n2.n_name
+      AND levenshtein(n1.n_name, n2.n_name) <= 4
+    """,
+    doc="C4 fuzzy-ratio primitive (levenshtein in SQL)")
+def fuzzy_levenshtein(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("a"))
+    b = n.select(F.col("n_name").alias("b"))
+    return (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+            .withColumn("dist", F.levenshtein("a", "b").cast("int"))
+            .filter(F.col("dist") <= 4))
+
+
+# =============================================================================
+# Pipeline queries over the synthetic pages corpus (rows-only checks; the
+# real gate is the pytest byte-identity suite)
+# =============================================================================
+
+_SF_TO_PAGES = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}
+
+
+def pages_corpus_dir(sf_dir: str) -> str:
+    """Deterministic synthetic pages corpus sized to the sf tier."""
+    from ..sources.corpus import ensure_corpus
+    base = os.path.basename(os.path.normpath(sf_dir))
+    n = _SF_TO_PAGES.get(base, 1000)
+    out = os.path.join("/root/repo/.cache", f"pages_{base}")
+    ensure_corpus(out, n)
+    return out
+
+
+@register("pipeline_extract_docs", None,
+          doc="U6: the flagship extraction stage (html→text, byte-exact)")
+def pipeline_extract_docs(spark, sf_dir):
+    from ..pipeline.extract import extract_docs
+    corpus = pages_corpus_dir(sf_dir)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    return extract_docs(pages).drop("spans")
+
+
+@register("pipeline_chunks", None,
+          doc="W1-W6: deterministic chunking stage")
+def pipeline_chunks(spark, sf_dir):
+    from ..pipeline.chunk import chunk_docs
+    from ..pipeline.extract import extract_docs
+    corpus = pages_corpus_dir(sf_dir)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    return chunk_docs(extract_docs(pages))
+
+
+@register("pipeline_edges", None,
+          doc="J1/K3: gazetteer NER + fuzzy entity linking")
+def pipeline_edges(spark, sf_dir):
+    from ..pipeline.chunk import chunk_docs
+    from ..pipeline.extract import extract_docs
+    from ..pipeline.ner import link_entities, load_gazetteers
+    corpus = pages_corpus_dir(sf_dir)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    gaz = load_gazetteers(spark,
+                          os.path.join(corpus, "persons.parquet"),
+                          os.path.join(corpus, "places.parquet"),
+                          os.path.join(corpus, "orgs.parquet"))
+    return link_entities(chunk_docs(extract_docs(pages)), gaz)
+
+
+@register("media_features", None,
+          doc="multimodal plumbing: magic sniff + byte-histogram features")
+def media_features(spark, sf_dir):
+    from ..operators.multimodal import extract_features, sniff_media
+    corpus = pages_corpus_dir(sf_dir)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    return extract_features(sniff_media(pages, "html"), "html", "url")
+
+
+def queries() -> dict:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict:
+    return {name: q.sql.strip() for name, q in QUERIES.items()
+            if q.sql is not None}
+
+
+__all__ = ["QUERIES", "queries", "oracle_sql", "pages_corpus_dir"]

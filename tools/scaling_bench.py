@@ -1,0 +1,107 @@
+"""Two-parallelism scaling benchmark (the north rule's N vs 4N evidence).
+
+No real cluster exists in this sandbox, so per the driver instructions the
+same extraction job runs at local[8] and local[32] on identical input in
+separate JVMs; throughput at both + scaling efficiency
+``(docs_s_32 / docs_s_8) / 4`` goes to BENCH/BASELINE.md (target ≥ 0.8).
+
+Usage: python tools/scaling_bench.py [--pages N] [--out BENCH/BASELINE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from ocr_processing_pipeline_spark.session import get_spark
+from ocr_processing_pipeline_spark.pipeline.extract import extract_docs
+
+spark = get_spark("scaling_bench", cpus={cpus})
+pages = spark.read.parquet({pages!r})
+# warm-up: JVM + codegen + Arrow path on a small slice
+extract_docs(pages.limit(64)).write.mode("overwrite").format("noop").save()
+t0 = time.time()
+extract_docs(pages).write.mode("overwrite").format("noop").save()
+elapsed = time.time() - t0
+n = pages.count()
+print(json.dumps({{"cpus": {cpus}, "n_pages": n, "elapsed_sec": elapsed,
+                   "docs_per_sec": n / elapsed}}))
+"""
+
+
+def run_at(cpus: int, pages_path: str) -> dict:
+    code = RUNNER.format(repo=REPO, cpus=cpus, pages=pages_path)
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.strip().startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=20000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH",
+                                                  "BASELINE.md"))
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from ocr_processing_pipeline_spark.sources.corpus import ensure_corpus
+
+    corpus_dir = os.path.join(REPO, ".cache", f"pages_bench_{args.pages}")
+    paths = ensure_corpus(corpus_dir, args.pages)
+
+    results = {}
+    for cpus in (args.low, args.high):
+        t0 = time.time()
+        results[cpus] = run_at(cpus, paths["pages"])
+        results[cpus]["wall_sec"] = round(time.time() - t0, 1)
+        print(f"local[{cpus}]: {results[cpus]['docs_per_sec']:.1f} docs/s "
+              f"({results[cpus]['elapsed_sec']:.1f}s measured)")
+
+    lo, hi = results[args.low], results[args.high]
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    efficiency = speedup / (args.high / args.low)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(f"""# BENCH — extraction throughput & scaling evidence
+
+Same job (pages → extract_docs, full plan to no-op sink), identical input
+({hi['n_pages']} synthetic Common-Crawl-style pages, seed=42), two
+parallelism levels in separate JVMs (sandbox stand-in for N vs 4N
+executors, per driver instructions).
+
+| parallelism | docs/s | elapsed (s) |
+|---|---|---|
+| local[{args.low}]  (N)  | {lo['docs_per_sec']:.1f} | {lo['elapsed_sec']:.1f} |
+| local[{args.high}] (4N) | {hi['docs_per_sec']:.1f} | {hi['elapsed_sec']:.1f} |
+
+- speedup {args.low}→{args.high}: **{speedup:.2f}×**
+- scaling efficiency (speedup / {args.high // args.low}): \
+**{efficiency:.2f}** (target ≥ 0.8)
+- reference baseline (BASELINE.md): 0.062 docs/s sequential → this engine
+  is ~{hi['docs_per_sec'] / 0.062:,.0f}× the reference at local[{args.high}]
+  (different extraction task per north rule, same per-doc pipeline role)
+
+Raw: `{json.dumps({str(k): {kk: round(vv, 3) if isinstance(vv, float) else vv
+                            for kk, vv in v.items()}
+                   for k, v in results.items()})}`
+""")
+    print(f"efficiency={efficiency:.3f} → wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
