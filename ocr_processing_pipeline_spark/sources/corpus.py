@@ -301,15 +301,33 @@ PAGES_SCHEMA = pa.schema([
 ])
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = SEED) -> dict:
-    """Write pages + gazetteer parquet files; returns path dict."""
+def write_corpus(out_dir: str, n_rows: int, seed: int = SEED,
+                 shards: int = 1) -> dict:
+    """Write pages + gazetteer parquet files; returns path dict.
+
+    ``shards > 1`` writes pages.parquet as a DIRECTORY of part files —
+    the realistic Common-Crawl shape (thousands of WARC-derived files),
+    giving the scan natural splits so narrow stages parallelize without
+    a repartition shuffle.
+    """
     os.makedirs(out_dir, exist_ok=True)
     rows, (persons, places, orgs) = make_pages(n_rows, seed=seed)
     paths = {}
 
-    pages_tbl = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
     paths["pages"] = os.path.join(out_dir, "pages.parquet")
-    pq.write_table(pages_tbl, paths["pages"])
+    if shards <= 1:
+        pages_tbl = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+        pq.write_table(pages_tbl, paths["pages"])
+    else:
+        os.makedirs(paths["pages"], exist_ok=True)
+        per = (len(rows) + shards - 1) // shards
+        for s in range(shards):
+            chunk = rows[s * per:(s + 1) * per]
+            if not chunk:
+                break
+            tbl = pa.Table.from_pylist(chunk, schema=PAGES_SCHEMA)
+            pq.write_table(
+                tbl, os.path.join(paths["pages"], f"part-{s:05d}.parquet"))
 
     for name, data in (("persons", persons), ("places", places),
                        ("orgs", orgs)):
@@ -319,15 +337,16 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = SEED) -> dict:
     return paths
 
 
-def ensure_corpus(out_dir: str, n_rows: int, seed: int = SEED) -> dict:
+def ensure_corpus(out_dir: str, n_rows: int, seed: int = SEED,
+                  shards: int = 1) -> dict:
     """Idempotent write_corpus — reuses files if already generated."""
-    marker = os.path.join(out_dir, f".complete-{n_rows}-{seed}")
+    marker = os.path.join(out_dir, f".complete-{n_rows}-{seed}-{shards}")
     names = ("pages", "persons", "places", "orgs")
     paths = {n: os.path.join(out_dir, f"{n}.parquet") for n in names}
     if os.path.exists(marker) and all(os.path.exists(p)
                                       for p in paths.values()):
         return paths
-    paths = write_corpus(out_dir, n_rows, seed=seed)
+    paths = write_corpus(out_dir, n_rows, seed=seed, shards=shards)
     with open(marker, "w") as f:
         f.write("ok\n")
     return paths
