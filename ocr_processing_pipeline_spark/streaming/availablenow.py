@@ -1,0 +1,81 @@
+"""Incremental streaming variants of the pipeline.
+
+The reference is strictly batch (SURVEY §2.9); its only incremental
+behavior is the processed-documents ledger. Structured Streaming with
+``Trigger.AvailableNow`` subsumes that ledger natively: the stream
+checkpoint tracks which input files are done, each trigger drains all
+currently-available files and stops — a crash-safe incremental ingest with
+exactly-once file tracking, complementary to the batch anti-join resume
+(pipeline/lineage.py) which works at row/bucket granularity.
+
+Also provides the generic event-time operators a streaming corpus feed
+needs: watermarked tumbling-window counts and gap-based sessionization
+(session_window) — late data handled by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.extract import extract_docs
+from ..sources.corpus import PAGES_SCHEMA
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string")
+
+
+def stream_extract_pages(spark: SparkSession, pages_dir: str, out_dir: str,
+                         checkpoint_dir: str,
+                         max_files_per_trigger: int | None = None):
+    """Incrementally extract newly-arrived page files → docs parquet.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    Re-running after new files land processes ONLY the new files — the
+    streaming analogue of the batch bucket-resume.
+    """
+    reader = (spark.readStream.schema(PAGES_DDL))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    pages = reader.parquet(pages_dir)
+    docs = extract_docs(pages).drop("spans")
+    return (docs.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_event_counts(events: DataFrame,
+                          watermark: str = "10 minutes",
+                          window: str = "5 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (late data beyond
+    the watermark is dropped; state is bounded)."""
+    return (events
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total_value")))
+
+
+def sessionize_events(events: DataFrame,
+                      watermark: str = "10 minutes",
+                      gap: str = "5 minutes") -> DataFrame:
+    """Gap-based sessionization per user (session_window) — the streaming
+    generalization of the chunker's 'new chunk on boundary' fold (W3)."""
+    return (events
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("session"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts")))
+
+
+__all__ = ["stream_extract_pages", "windowed_event_counts",
+           "sessionize_events", "PAGES_DDL"]

@@ -1,0 +1,108 @@
+"""Physical-plan shape assertions: pushdown, pruning, broadcast, narrowness.
+
+These lock in the scale properties SURVEY §4 promises: filters reach the
+parquet scan, projections prune columns, small dims broadcast, and the
+extraction pipeline is shuffle-free (mapInPandas chain over scan splits).
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from ocr_processing_pipeline_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    p = plan(QUERIES["filtered_scan"].fn(spark, SF_DIR))
+    assert "PushedFilters:" in p
+    assert "l_shipdate" in p.split("PushedFilters:")[1].split("\n")[0]
+    # projection pruned to the 4 needed columns
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_quantity" not in read_schema
+
+
+def test_broadcast_join_used(spark):
+    p = plan(QUERIES["broadcast_join_parts"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    p2 = plan(QUERIES["in_filter"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p2
+
+
+def test_partial_aggregation(spark):
+    """Map-side combine: two HashAggregates around the exchange."""
+    df = QUERIES["agg_pricing_summary"].fn(spark, SF_DIR)
+    p = plan(df)
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p          # map-side combine before shuffle
+
+
+def test_extraction_stage_is_shuffle_free(spark, corpus_dir):
+    from ocr_processing_pipeline_spark.pipeline.chunk import chunk_docs
+    from ocr_processing_pipeline_spark.pipeline.extract import extract_docs
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    docs = extract_docs(pages)
+    chunks = chunk_docs(docs)
+    p = plan(chunks, mode="simple")
+    assert "Exchange" not in p, "extract→chunk chain must not shuffle"
+    assert p.count("MapInPandas") == 2
+    assert "*(" in p                   # relational glue is codegen'd
+
+
+def test_ner_stage_is_shuffle_free_and_broadcast_based(spark, corpus_dir):
+    """The gazetteer 'join' is a broadcast variable inside the UDF —
+    the whole chunks→edges stage stays narrow."""
+    from ocr_processing_pipeline_spark.pipeline.chunk import chunk_docs
+    from ocr_processing_pipeline_spark.pipeline.extract import extract_docs
+    from ocr_processing_pipeline_spark.pipeline.ner import (
+        link_entities, load_gazetteers)
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    gaz = load_gazetteers(spark,
+                          f"{corpus_dir}/persons.parquet",
+                          f"{corpus_dir}/places.parquet",
+                          f"{corpus_dir}/orgs.parquet")
+    edges = link_entities(chunk_docs(extract_docs(pages)), gaz)
+    p = plan(edges)
+    assert "Exchange" not in p
+
+
+def test_anti_join_resume_is_broadcast(spark, corpus_dir, tmp_path):
+    from ocr_processing_pipeline_spark.pipeline import lineage
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "docs")], "bucket int, table_name string"
+    ).write.parquet(ckpt)
+    remaining = lineage.remaining_pages(spark, pages, ckpt, "docs", 8)
+    p = plan(remaining)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition heads),
+    never a full global sort."""
+    p = plan(QUERIES["embedding_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_join_layered_broadcast(spark):
+    p = plan(QUERIES["semi_join_layered"].fn(spark, SF_DIR))
+    assert "LeftSemi" in p
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from ocr_processing_pipeline_spark.operators.dedup import exact_dedup
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(exact_dedup(d, "text", "doc_id"), mode="simple")
+    assert p.count("Exchange") == 1

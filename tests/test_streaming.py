@@ -1,0 +1,97 @@
+"""Structured Streaming: incremental extraction + event-time operators."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from ocr_processing_pipeline_spark.extractor.core import extract_page
+from ocr_processing_pipeline_spark.sources.corpus import make_pages
+from ocr_processing_pipeline_spark.streaming.availablenow import (
+    sessionize_events, stream_extract_pages, windowed_event_counts)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_pages_batch(spark, rows, path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_processing_pipeline_spark.sources.corpus import PAGES_SCHEMA
+    os.makedirs(path, exist_ok=True)
+    n = len(os.listdir(path))
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA),
+                   os.path.join(path, f"batch-{n:04d}.parquet"))
+
+
+def test_available_now_incremental_extract(spark, tmp_path):
+    """Two triggers over a growing directory: each file processed exactly
+    once; output byte-identical to the oracle (streaming path included)."""
+    pages_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows, _ = make_pages(80)
+    _write_pages_batch(spark, rows[:50], pages_dir)
+    q = stream_extract_pages(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination()
+
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == 50
+
+    # new files arrive; second AvailableNow trigger drains only them
+    _write_pages_batch(spark, rows[50:], pages_dir)
+    q2 = stream_extract_pages(spark, pages_dir, out_dir, ckpt)
+    q2.awaitTermination()
+
+    got = {r["url"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 80                      # no duplicates, no gaps
+    for r in rows:
+        assert got[r["url"]] == extract_page(r["html"], r["text"]).text
+
+
+def _events_stream_dir(tmp_path) -> str:
+    d = str(tmp_path / "events_stream")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(d, "e.parquet"))
+    return d
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    """Drive the watermarked window agg with the events table as a file
+    stream; compare against the equivalent batch aggregation."""
+    events_path = f"{SF_DIR}/events.parquet"
+    batch = spark.read.parquet(events_path)
+
+    stream = (spark.readStream.schema(batch.schema)
+              .parquet(_events_stream_dir(tmp_path)))
+    agg = windowed_event_counts(stream)
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT win.start AS ws, event_type, n FROM win_counts")
+
+    expected = (batch
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .groupBy(F.window("ts", "5 minutes").alias("win"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("win.start").alias("ws"), "event_type", "n"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, expected.collect()))
+
+
+def test_sessionize_events_streaming(spark, tmp_path):
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    stream = (spark.readStream.schema(batch.schema)
+              .parquet(_events_stream_dir(tmp_path)))
+    q = (sessionize_events(stream)
+         .writeStream.format("memory").queryName("sessions")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    sessions = spark.sql("SELECT * FROM sessions")
+    n = sessions.count()
+    assert n > 0
+    # sessions are per-user, non-overlapping, gap-bounded
+    row = sessions.select("user_id", "n_events").first()
+    assert row["n_events"] >= 1
