@@ -756,6 +756,66 @@ def fuzzy_levenshtein(spark, sf_dir):
             .filter(F.col("dist") <= 4))
 
 
+@register(
+    "fixed_window_chunks",
+    """
+    SELECT doc_id,
+           CAST((pos - 1) // 64 AS INT) AS chunk_no,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, generate_subscripts(
+              regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+          FROM documents WHERE length(trim(text)) > 0)
+    GROUP BY doc_id, chunk_no
+    """,
+    doc="W8 fixed-size late chunking: 64-token windows with offsets "
+        "(qwen_chunker.py:137-160 analogue)")
+def fixed_window_chunks(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return (d.filter(F.length(F.trim("text")) > 0)
+            .select("doc_id", F.posexplode(toks).alias("pos0", "tok"))
+            .select("doc_id",
+                    F.floor(F.col("pos0") / 64).cast("int")
+                    .alias("chunk_no"))
+            .groupBy("doc_id", "chunk_no")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens")))
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           ROUND(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="rollup with subtotals (grouping-sets family)")
+def rollup_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+                    F.coalesce("l_linestatus", F.lit("ALL"))
+                    .alias("status"), "revenue"))
+
+
+@register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="exact distinct aggregation (approx_count_distinct's oracle twin)")
+def distinct_users_per_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
+
+
 # =============================================================================
 # Pipeline queries over the synthetic pages corpus (rows-only checks; the
 # real gate is the pytest byte-identity suite)

@@ -1,0 +1,147 @@
+"""Operator tests with planted cases: dedup families, ANN, multimodal."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_processing_pipeline_spark.operators.dedup import (
+    exact_dedup, exact_dup_groups, jaccard_pairs, lsh_candidate_pairs,
+    minhash_lsh_dedup, minhash_signatures, shingles, simhash,
+    simhash_candidates)
+from ocr_processing_pipeline_spark.operators.similarity import (
+    ann_topk, brute_force_topk, label_centroids)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    near = base.replace("lazy", "sleepy")          # 1-word edit
+    other = ("completely different content about spark shuffles and "
+             "partition pruning at terabyte scale with adaptive execution")
+    rows = [
+        (1, base), (2, base),            # exact dups
+        (3, near),                       # near dup of 1/2
+        (4, other), (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs_with_dups):
+    kept = exact_dedup(docs_with_dups, "text", "doc_id")
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids and 2 not in ids          # first-seen wins
+    assert {3, 4, 5} <= ids
+    groups = exact_dup_groups(docs_with_dups, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].canonical_id == 1 and groups[0].group_size == 2
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs_with_dups):
+    pairs = {(r.key_a, r.key_b): r.jaccard
+             for r in minhash_lsh_dedup(docs_with_dups, "text", "doc_id",
+                                        n=3, min_jaccard=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5   # near dup survives LSH
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_jaccard_exact_values(docs_with_dups):
+    sh = shingles(docs_with_dups, "text", "doc_id", n=3)
+    pairs = {(r.key_a, r.key_b): r for r in
+             jaccard_pairs(sh, min_jaccard=0.01).collect()}
+    p13 = pairs[(1, 3)]
+    # one word changed in the middle → 3 of the 3-gram shingles differ
+    assert p13.n_a == p13.n_b
+    assert p13.shared == p13.n_a - 3
+    assert abs(p13.jaccard - p13.shared / (2 * p13.n_a - p13.shared)) < 1e-9
+
+
+def test_simhash_near_dup_low_hamming(docs_with_dups):
+    sigs = simhash(docs_with_dups, "text", "doc_id")
+    cands = {(r.key_a, r.key_b): r.hamming
+             for r in simhash_candidates(sigs, prefix_bits=4).collect()}
+    assert cands.get((1, 2)) == 0                      # identical text
+    by_key = {r.key: r.simhash for r in sigs.collect()}
+    ham13 = bin(by_key[1] ^ by_key[3]).count("1")
+    ham14 = bin(by_key[1] ^ by_key[4]).count("1")
+    assert ham13 < ham14                               # near < far
+
+
+def test_ann_recall_vs_brute_force(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    exact = [r.key for r in brute_force_topk(
+        e, "embedding", "vec_id", qvec, k=10).collect()]
+    # the synthetic embeddings are near-uniform random (best non-self
+    # cosine ≈ 0.39), the hardest case for hyperplane LSH — probe a wider
+    # hamming radius to trade candidates for recall
+    approx = [r.key for r in ann_topk(
+        e, "embedding", "vec_id", qvec, k=10, n_bits=6,
+        hamming_radius=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.6, f"ANN recall {recall} too low"
+    assert exact[0] == 1  # the query vector itself is its own best match
+
+
+def test_label_centroids_shape(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = label_centroids(e, "embedding", "label").collect()
+    dim = len(e.first()["embedding"])
+    labels = {r.label for r in e.select("label").distinct().collect()}
+    assert {r.label for r in cents} == labels
+    for r in cents:
+        assert len(r.centroid) == dim
+
+
+def test_multimodal_sniff_and_features(spark):
+    from ocr_processing_pipeline_spark.operators.multimodal import (
+        FEATURE_BINS, extract_features, sniff_media)
+    rows = [
+        ("png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 64),
+        ("jpg", b"\xff\xd8\xff\xe0" + b"\xab" * 64),
+        ("pdf", b"%SPDF1\n" + b"\x00" * 16),
+        ("raw", b"\x01\x02\x03\x04" * 16),
+        ("empty", b""),
+    ]
+    df = spark.createDataFrame(rows, "key string, payload binary")
+    sniffed = {r.key: r.media_kind
+               for r in sniff_media(df, "payload").collect()}
+    assert sniffed["png"] == "image/png"
+    assert sniffed["jpg"] == "image/jpeg"
+    assert sniffed["pdf"] == "application/x-spdf"
+    assert sniffed["raw"] == "application/octet-stream"
+
+    feats = {r.key: r.features for r in extract_features(
+        sniff_media(df, "payload"), "payload", "key").collect()}
+    assert len(feats["png"]) == FEATURE_BINS
+    assert abs(sum(feats["jpg"]) - 1.0) < 1e-9      # L1-normalized
+    assert feats["empty"] == [0.0] * FEATURE_BINS
+
+
+def test_multimodal_stubs_raise():
+    from ocr_processing_pipeline_spark.operators.multimodal import (
+        decode_image, resize_image, sample_frames)
+    for fn, args in ((decode_image, (b"x",)), (resize_image, (b"x", 1, 1)),
+                     (sample_frames, (b"x", 2))):
+        with pytest.raises(NotImplementedError):
+            fn(*args)
+
+
+def test_asof_tolerance(spark):
+    from ocr_processing_pipeline_spark.operators.asof import (
+        asof_join_backward)
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (1, "2024-01-01 05:00:00")],
+        "k int, ts_s string").select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 7.0)],
+        "k int, ts_s string, v double").select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = asof_join_backward(left, right, on="k", left_ts="ts",
+                             right_ts="ts", value_cols=["v"],
+                             tolerance_seconds=3600)
+    vals = {r.ts.isoformat(): r.v for r in out.collect()}
+    assert vals["2024-01-01T00:10:00"] == 7.0
+    assert vals["2024-01-01T05:00:00"] is None     # outside tolerance

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): invariants under random input.
+
+SURVEY §5.2.4 — random HTML from a seeded grammar; invariants:
+- extracted text words all occur in the source text content
+- spans are monotone, non-overlapping, within bounds
+- chunk token counts ≤ 512; chunk_order gapless; spans consistent
+- re-running is byte-identical (determinism)
+The extractor must also never crash on arbitrary bytes.
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_processing_pipeline_spark.extractor.chunking import (
+    CHUNK_TOKEN_LIMIT, chunk_document)
+from ocr_processing_pipeline_spark.extractor.core import extract_page
+from ocr_processing_pipeline_spark.extractor.textproc import tokenize
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta council decides "
+         "session report the budget law a authority measure year").split()
+
+word = st.sampled_from(WORDS)
+sentence = st.lists(word, min_size=3, max_size=20).map(
+    lambda ws: " ".join(ws).capitalize() + ". ")
+paragraph = st.lists(sentence, min_size=1, max_size=6).map("".join)
+
+inline = st.one_of(
+    paragraph,
+    paragraph.map(lambda p: f"<b>{p}</b>"),
+    paragraph.map(lambda p: f'<a href="/x">{p}</a>'),
+)
+block = st.one_of(
+    inline.map(lambda p: f"<p>{p}</p>"),
+    inline.map(lambda p: f"<div>{p}</div>"),
+    paragraph.map(lambda p: f"<h2>{p[:40]}</h2>"),
+    paragraph.map(lambda p: f"<nav><a href='/'>{p[:30]}</a></nav>"),
+    paragraph.map(lambda p: f"<script>var x = '{p[:20]}';</script>"),
+    st.lists(paragraph, min_size=1, max_size=4).map(
+        lambda ps: "<ul>" + "".join(f"<li>{p}</li>" for p in ps) + "</ul>"),
+)
+html_doc = st.lists(block, min_size=1, max_size=12).map(
+    lambda bs: ("<html><head><title>t</title></head><body>"
+                + "".join(bs) + "</body></html>").encode("utf-8"))
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_doc)
+def test_extractor_invariants(html):
+    res = extract_page(html)
+    src = html.decode("utf-8")
+    # every extracted word occurs in the source
+    for w in set(res.text.split()):
+        assert w in src, (w, src[:200])
+    # spans monotone non-overlapping in-bounds
+    prev_end = -1
+    for start, end in res.spans:
+        assert 0 <= start < end <= len(src)
+        assert start > prev_end
+        prev_end = end
+    # determinism
+    res2 = extract_page(html)
+    assert res2.text == res.text and res2.spans == res.spans
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_extractor_never_crashes_on_garbage(payload):
+    res = extract_page(payload)
+    assert isinstance(res.text, str)
+    assert isinstance(res.failure_code, str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(paragraph, min_size=0, max_size=30).map("\n\n".join))
+def test_chunker_invariants(text):
+    chunks = chunk_document("d", text)
+    prev_end = -1
+    for i, c in enumerate(chunks):
+        assert c["chunk_order"] == i
+        assert c["chunk_id"] == f"d/{i}"
+        assert c["n_tokens"] <= CHUNK_TOKEN_LIMIT
+        assert c["span_start"] >= prev_end
+        assert text[c["span_start"]:c["span_end"]] == c["content"]
+        prev_end = c["span_end"]
+    # token conservation: chunk tokens cover every sentence token once
+    if chunks:
+        total = sum(c["n_tokens"] for c in chunks)
+        assert total <= len(tokenize(text))
+        assert total >= len(tokenize(text)) * 0.95
+    assert chunk_document("d", text) == chunks   # determinism
