@@ -825,12 +825,16 @@ _SF_TO_PAGES = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}
 
 
 def pages_corpus_dir(sf_dir: str) -> str:
-    """Deterministic synthetic pages corpus sized to the sf tier."""
+    """Deterministic synthetic pages corpus sized to the sf tier.
+
+    Written as 32 parquet shards so the narrow extract→chunk→NER chain
+    parallelizes over natural scan splits (the 100 TB shape) instead of
+    serializing on a single-file split."""
     from ..sources.corpus import ensure_corpus
     base = os.path.basename(os.path.normpath(sf_dir))
     n = _SF_TO_PAGES.get(base, 1000)
-    out = os.path.join("/root/repo/.cache", f"pages_{base}")
-    ensure_corpus(out, n)
+    out = os.path.join("/root/repo/.cache", f"pages_{base}_s32")
+    ensure_corpus(out, n, shards=32)
     return out
 
 

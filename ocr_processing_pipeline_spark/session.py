@@ -41,6 +41,11 @@ def get_spark(app_name: str = "ocr_processing_pipeline_spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS_PER_BATCH))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # binary-heavy page rows: favor one task per input shard over
+        # file-packing — a packed 128 MB partition of html blobs is a
+        # straggler; these also govern the local benches' parallelism
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "16m")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
