@@ -85,9 +85,13 @@ class _Block:
     start: int = -1           # char offset of first text char in decoded html
     end: int = -1             # char offset just past last text char
     in_article: bool = False  # inside <article>/<main> → score boost
+    _text_cache: str = None   # normalized text, computed once per block
 
     def text(self) -> str:
-        return _WS_RE.sub(" ", "".join(self.text_parts)).strip()
+        if self._text_cache is None:
+            self._text_cache = _WS_RE.sub(
+                " ", "".join(self.text_parts)).strip()
+        return self._text_cache
 
 
 class _BlockParser(HTMLParser):
