@@ -110,7 +110,13 @@ _LANG_ORDER = ("de", "fr", "it", "en")
 
 
 def detect_lang(text: str) -> str:
-    toks = [t.lower() for t in tokenize(text) if t.isalpha()]
+    return detect_lang_tokens(tokenize(text))
+
+
+def detect_lang_tokens(tokens: list[str]) -> str:
+    """detect_lang over a pre-tokenized text (single tokenize pass shared
+    with token counting in the extraction UDF)."""
+    toks = [t.lower() for t in tokens if t.isalpha()]
     if not toks:
         return "und"
     best_lang, best_score = "und", 0.0
@@ -122,4 +128,5 @@ def detect_lang(text: str) -> str:
     return best_lang if best_score > 0.02 else "und"
 
 
-__all__ = ["tokenize", "token_count", "split_sentences", "detect_lang"]
+__all__ = ["tokenize", "token_count", "token_spans", "split_sentences",
+           "detect_lang", "detect_lang_tokens"]

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..extractor.core import extract_page
-from ..extractor.textproc import detect_lang, token_count
+from ..extractor.textproc import detect_lang_tokens, tokenize
 
 # Spans are emitted as arrays of structs so downstream stages and the parity
 # suite can check monotone, in-bounds offsets (FIXTURES.md §3 invariants).
@@ -53,15 +53,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for html, pre_text in zip(pdf["html"], pdf["text"]):
             res = extract_page(bytes(html) if html is not None else None,
                                pre_text)
+            toks = tokenize(res.text)      # one pass shared by count+langid
             out["text"].append(res.text)
-            out["token_length"].append(token_count(res.text))
+            out["token_length"].append(len(toks))
             out["failure_code"].append(res.failure_code)
             out["content_kind"].append(res.content_kind)
             out["n_blocks_total"].append(res.n_blocks_total)
             out["n_blocks_kept"].append(res.n_blocks_kept)
             out["spans"].append(
                 [{"start": s, "end": e} for s, e in res.spans])
-            out["detected_lang"].append(detect_lang(res.text))
+            out["detected_lang"].append(detect_lang_tokens(toks))
         yield pd.DataFrame(out)
 
 

@@ -801,6 +801,27 @@ def rollup_revenue(spark, sf_dir):
 
 
 @register(
+    "exact_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                         0.5) / 100.0 AS p50,
+           quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                         0.95) / 100.0 AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact percentiles (approx_percentile's deterministic twin); "
+        "computed on integer cents so interpolation midpoints are exact "
+        "in both engines")
+def exact_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (li.groupBy("l_returnflag")
+            .agg((F.percentile(cents, F.lit(0.5)) / 100.0).alias("p50"),
+                 (F.percentile(cents, F.lit(0.95)) / 100.0).alias("p95")))
+
+
+@register(
     "distinct_users_per_type",
     """
     SELECT event_type,
