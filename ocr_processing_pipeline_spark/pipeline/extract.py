@@ -31,11 +31,16 @@ DOCS_UDF_SCHEMA = (
     "url string, warc_ts timestamp, lang string, detected_lang string, "
     "text string, token_length int, failure_code string, "
     "content_kind string, n_blocks_total int, n_blocks_kept int, "
+    "extract_us long, "
     "spans array<struct<start:long,end:long>>"
 )
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # per-doc wall time (µs) — the instrumentation the reference got from
+    # codecarbon's per-doc tracker (lora_chunking_api.py:250, A7);
+    # aggregated into the checkpoint/lineage rows per bucket
+    from time import perf_counter_ns
     for pdf in batches:
         out = {
             "url": pdf["url"],
@@ -48,9 +53,11 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "content_kind": [],
             "n_blocks_total": [],
             "n_blocks_kept": [],
+            "extract_us": [],
             "spans": [],
         }
         for html, pre_text in zip(pdf["html"], pdf["text"]):
+            t0 = perf_counter_ns()
             res = extract_page(bytes(html) if html is not None else None,
                                pre_text)
             toks = tokenize(res.text)      # one pass shared by count+langid
@@ -63,6 +70,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["spans"].append(
                 [{"start": s, "end": e} for s, e in res.spans])
             out["detected_lang"].append(detect_lang_tokens(toks))
+            out["extract_us"].append((perf_counter_ns() - t0) // 1000)
         yield pd.DataFrame(out)
 
 
@@ -81,7 +89,7 @@ def extract_docs(pages: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", "url", "warc_ts", "lang", "detected_lang", "text",
         "token_length", "failure_code", "content_kind",
-        "n_blocks_total", "n_blocks_kept", "spans",
+        "n_blocks_total", "n_blocks_kept", "extract_us", "spans",
     )
 
 

@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 CHECKPOINT_SCHEMA = (
     "bucket int, table_name string, row_count long, n_urls long, "
     "warc_ts_min timestamp, warc_ts_max timestamp, "
-    "failure_counts map<string,long>, committed_at timestamp"
+    "failure_counts map<string,long>, mean_extract_us double, "
+    "max_extract_us long, committed_at timestamp"
 )
 
 
@@ -74,6 +75,13 @@ def write_partitioned(df: DataFrame, path: str) -> None:
 def checkpoint_rows_with_failures(docs_with_bucket: DataFrame,
                                   table_name: str) -> DataFrame:
     """Lineage rows incl. failure-code histogram as map<string,long>."""
+    has_timing = "extract_us" in docs_with_bucket.columns
+    timing_aggs = (
+        [F.avg("extract_us").alias("t_mean"),
+         F.max("extract_us").alias("t_max")]
+        if has_timing else
+        [F.lit(None).cast("double").alias("t_mean"),
+         F.lit(None).cast("long").alias("t_max")])
     per_code = (
         docs_with_bucket
         .withColumn("code", F.when(F.col("failure_code") == "", "OK")
@@ -83,7 +91,8 @@ def checkpoint_rows_with_failures(docs_with_bucket: DataFrame,
         .agg(F.count(F.lit(1)).alias("n"),
              F.countDistinct("url").alias("n_urls_c"),
              F.min("warc_ts").alias("ts_min"),
-             F.max("warc_ts").alias("ts_max"))
+             F.max("warc_ts").alias("ts_max"),
+             *timing_aggs)
     )
     return (
         per_code.groupBy("bucket")
@@ -93,12 +102,15 @@ def checkpoint_rows_with_failures(docs_with_bucket: DataFrame,
              F.max("ts_max").alias("warc_ts_max"),
              F.map_from_entries(
                  F.collect_list(F.struct("code", "n"))
-             ).alias("failure_counts"))
+             ).alias("failure_counts"),
+             (F.sum(F.col("t_mean") * F.col("n")) / F.sum("n"))
+             .alias("mean_extract_us"),
+             F.max("t_max").alias("max_extract_us"))
         .withColumn("table_name", F.lit(table_name))
         .withColumn("committed_at", F.current_timestamp())
         .select("bucket", "table_name", "row_count", "n_urls",
                 "warc_ts_min", "warc_ts_max", "failure_counts",
-                "committed_at")
+                "mean_extract_us", "max_extract_us", "committed_at")
     )
 
 

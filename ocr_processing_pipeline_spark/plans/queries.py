@@ -822,6 +822,73 @@ def exact_quantiles(spark, sf_dir):
 
 
 @register(
+    "merge_upsert_orders",
+    """
+    WITH source AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders WHERE o_orderstatus = 'O'),
+    survivors AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders t
+      WHERE NOT EXISTS (SELECT 1 FROM source s
+                        WHERE s.o_orderkey = t.o_orderkey))
+    SELECT * FROM source UNION ALL SELECT * FROM survivors
+    """,
+    doc="K7/CDC: MERGE INTO emulation (anti-join + union upsert)")
+def merge_upsert_orders(spark, sf_dir):
+    from ..operators.merge import merge_upsert
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"))
+    source = (o.filter(F.col("o_orderstatus") == "O")
+              .withColumn("o_totalprice",
+                          F.round(F.col("o_totalprice") * 1.1, 2)))
+    return merge_upsert(o, source, ["o_orderkey"])
+
+
+@register(
+    "embedding_near_dup_by_label",
+    """
+    SELECT a.label,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           ROUND(max(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[]))), 5) AS max_cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
+    GROUP BY a.label
+    """,
+    doc="embedding-cosine near-dup pairs, label-blocked (the dedup "
+        "family's vector member; blocking avoids the n² cross join)")
+def embedding_near_dup_by_label(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("label"), F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("label"), F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"))
+    da = F.transform("va", lambda x: x.cast("double"))
+    db = F.transform("vb", lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = (
+        F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0),
+                           lambda acc, v: acc + v))
+        * F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0),
+                             lambda acc, v: acc + v)))
+    return (a.join(b, "label")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", dot / norm)
+            .filter(F.col("cos") >= 0.3)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.round(F.max("cos"), 5).alias("max_cosine")))
+
+
+@register(
     "distinct_users_per_type",
     """
     SELECT event_type,

@@ -62,8 +62,15 @@ class ParquetCatalog:
         (df.write.mode("overwrite").partitionBy(partition_col)
          .parquet(self.path(name)))
 
-    def append(self, df: DataFrame, name: str) -> None:
-        df.write.mode("append").parquet(self.path(name))
+    def append(self, df: DataFrame, name: str,
+               partition_col: str | None = None) -> None:
+        """Append; MUST pass partition_col when the table was created
+        partitioned (flat files inside a partitioned layout are invisible
+        to partition discovery)."""
+        w = df.write.mode("append")
+        if partition_col is not None:
+            w = w.partitionBy(partition_col)
+        w.parquet(self.path(name))
 
 
 class IcebergCatalog:
@@ -97,10 +104,14 @@ class IcebergCatalog:
         else:
             df.writeTo(tbl).overwritePartitions()
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(self, df: DataFrame, name: str,
+               partition_col: str | None = None) -> None:
         tbl = self._tbl(name)
         if not self.exists(name):
-            df.writeTo(tbl).using("iceberg").create()
+            w = df.writeTo(tbl).using("iceberg")
+            if partition_col is not None:
+                w = w.partitionedBy(partition_col)
+            w.create()
         else:
             df.writeTo(tbl).append()
 
