@@ -87,8 +87,18 @@ def minhash_signatures(sh: DataFrame,
 
 def lsh_candidate_pairs(sig: DataFrame,
                         num_hashes: int = DEFAULT_NUM_HASHES,
-                        band_size: int = DEFAULT_BAND_SIZE) -> DataFrame:
-    """Banding: keys sharing any band collide; returns (key_a < key_b)."""
+                        band_size: int = DEFAULT_BAND_SIZE,
+                        max_bucket_size: int | None = 10000) -> DataFrame:
+    """Banding: keys sharing any band collide; returns (key_a < key_b).
+
+    ``max_bucket_size`` drops pathologically hot band buckets before the
+    self-join — at web scale a band shared by millions of boilerplate
+    pages would otherwise produce an O(bucket²) blow-up. Such groups are
+    exact or near-exact duplicate classes: run ``exact_dedup`` FIRST (it
+    collapses them in one shuffle), then LSH on the survivors; the cap is
+    the safety net, and dropped buckets are still co-grouped by any other
+    non-hot band they share.
+    """
     n_bands = num_hashes // band_size
     bands = F.array(*[
         F.concat_ws("|", F.lit(str(b)),
@@ -96,6 +106,12 @@ def lsh_candidate_pairs(sig: DataFrame,
                       for j in range(band_size)])
         for b in range(n_bands)])
     banded = sig.select("key", F.explode(bands).alias("band"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band")
+        banded = (banded
+                  .withColumn("_bn", F.count(F.lit(1)).over(w))
+                  .filter(F.col("_bn") <= max_bucket_size)
+                  .drop("_bn"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, "band")

@@ -104,19 +104,22 @@ def ann_topk(df: DataFrame, vec_col: str, key_col: str, query_vec: list,
 
 
 def label_centroids(df: DataFrame, vec_col: str, label_col: str,
-                    round_to: int = 5) -> DataFrame:
-    """Element-wise mean vector per label (posexplode + two-level agg)."""
-    return (df
-            .select(F.col(label_col).alias("label"),
-                    F.posexplode(F.col(vec_col)).alias("pos", "v"))
-            .groupBy("label", "pos")
-            .agg(F.round(F.avg(F.col("v").cast("double")), round_to)
-                 .alias("m"))
-            .groupBy("label")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                 .alias("pairs"))
+                    round_to: int = 5, dim: int | None = None) -> DataFrame:
+    """Element-wise mean vector per label.
+
+    Scale path: one avg aggregate per dimension — map-side partial
+    aggregation, ONE shuffle of (n_labels × dim) partials. The naive
+    posexplode formulation shuffles n_rows × dim exploded rows (64× the
+    data at dim=64); never do that at 10^12 rows.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    aggs = [F.round(F.avg(F.col(vec_col)[i].cast("double")), round_to)
+            .alias(f"m{i}") for i in range(dim)]
+    return (df.groupBy(F.col(label_col).alias("label"))
+            .agg(*aggs)
             .select("label",
-                    F.transform("pairs", lambda p: p.getField("m"))
+                    F.array(*[F.col(f"m{i}") for i in range(dim)])
                     .alias("centroid")))
 
 

@@ -321,11 +321,14 @@ def embedding_topk(spark, sf_dir):
     """,
     doc="per-label centroid (element-wise mean over array column)")
 def embedding_label_centroids(spark, sf_dir):
+    # scale path: per-dimension avg aggregates (map-side partials, one
+    # shuffle of n_labels×dim rows) instead of posexploding every vector
+    from ..operators.similarity import label_centroids
     e = _t(spark, sf_dir, "embeddings")
-    return (e.select("label", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("label", "pos")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 5).alias("m"))
-            .select("label", F.col("pos").cast("int").alias("pos"), "m"))
+    cents = label_centroids(e, "embedding", "label", round_to=5)
+    return (cents.select("label",
+                         F.posexplode("centroid").alias("pos0", "m"))
+            .select("label", F.col("pos0").cast("int").alias("pos"), "m"))
 
 
 @register(
