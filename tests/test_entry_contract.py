@@ -1,0 +1,36 @@
+"""Driver-contract integrity: __spark_entry__ surface invariants."""
+
+import inspect
+
+import __spark_entry__ as E
+
+
+def test_oracle_keys_subset_of_queries():
+    q = E.queries()
+    o = E.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 35
+    # the pipeline queries are intentionally oracle-less (rows-only)
+    oracle_less = set(q) - set(o)
+    assert {"pipeline_extract_docs", "pipeline_chunks",
+            "pipeline_edges", "media_features"} <= oracle_less
+
+
+def test_query_callables_signature():
+    for name, fn in E.queries().items():
+        params = inspect.signature(fn).parameters
+        assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+
+
+def test_oracle_sql_strings_nonempty():
+    for name, sql in E.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_entry_schema_stable(spark):
+    df = E.entry(spark)
+    assert df.columns == [
+        "doc_id", "url", "warc_ts", "lang", "detected_lang",
+        "token_length", "failure_code", "content_kind", "n_chunks",
+        "n_chunk_tokens", "n_entities"]
+    assert df.count() > 0
