@@ -72,6 +72,28 @@ def test_extractor_never_crashes_on_garbage(payload):
     assert isinstance(res.failure_code, str)
 
 
+NAMES = ["Arthur Hoffmann", "Emil Welti", "Sankt Gallen"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(word, st.sampled_from(NAMES)),
+                min_size=1, max_size=60))
+def test_ner_scan_spans_always_point_at_mentions(tokens):
+    from ocr_processing_pipeline_spark.extractor.ner import GazetteerIndex
+    idx = GazetteerIndex(
+        [{"name": "Arthur Hoffmann", "lemma": "Hoffmann"},
+         {"name": "Emil Welti", "lemma": "Welti"}],
+        [{"name_de": "Sankt Gallen"}], [])
+    text = " ".join(tokens)
+    mentions = idx.scan(text)
+    for m in mentions:
+        assert text[m["span_start"]:m["span_end"]] == m["mention"]
+        assert m["entity_type"] in ("PER", "LOC")
+    # every planted full name that appears is found
+    n_planted = sum(tokens.count(n) for n in NAMES)
+    assert len(mentions) >= n_planted
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.lists(paragraph, min_size=0, max_size=30).map("\n\n".join))
 def test_chunker_invariants(text):
