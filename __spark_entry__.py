@@ -27,6 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction → chunking → NER over the synthetic pages
     corpus (sf0.001 scale), returning per-document results."""
     sf_dir = "/root/testdata/sf0.001"
+    Q.ensure_workers_can_import(spark)
     corpus = Q.pages_corpus_dir(sf_dir)
 
     from ocr_processing_pipeline_spark.pipeline.chunk import chunk_docs
