@@ -122,14 +122,25 @@ def lsh_candidate_pairs(sig: DataFrame,
 
 
 def jaccard_pairs(sh: DataFrame, min_jaccard: float,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  max_doc_freq: int | None = None) -> DataFrame:
     """Verified n-gram Jaccard over an inverted-index join.
 
     With ``candidates`` (from LSH) the join is restricted to candidate
     pairs — the 100 TB path. Without, it computes all co-shingled pairs
     (small-data / oracle-comparable path). Either way no cross product:
     only keys sharing ≥1 shingle ever meet.
+
+    ``max_doc_freq`` drops shingles appearing in more than N docs before
+    the self-join (standard stop-shingle pruning): a boilerplate 3-gram
+    shared by millions of pages contributes O(df²) join rows but almost
+    no Jaccard evidence. NOTE: changes scores slightly (shingle sets
+    shrink) — leave None when exact parity matters.
     """
+    if max_doc_freq is not None:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_doc_freq).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -824,6 +824,47 @@ def exact_quantiles(spark, sf_dir):
                  (F.percentile(cents, F.lit(0.95)) / 100.0).alias("p95")))
 
 
+_BM25_TERMS = ("spark", "query", "window")
+
+@register(
+    "bm25_search",
+    """
+    WITH tok AS (
+      SELECT doc_id AS key,
+             len(regexp_split_to_array(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ')) AS doc_len,
+             unnest(regexp_split_to_array(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ')) AS term
+      FROM documents),
+    tokf AS (SELECT * FROM tok WHERE length(term) > 0),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    avglen AS (SELECT avg(l) AS avg_len FROM
+               (SELECT key, max(doc_len) AS l FROM tokf GROUP BY key)),
+    tf AS (SELECT key, term, count(*) AS tf, max(doc_len) AS doc_len
+           FROM tokf WHERE term IN ('spark', 'query', 'window')
+           GROUP BY key, term),
+    dfc AS (SELECT term, count(DISTINCT key) AS df FROM tf GROUP BY term)
+    SELECT key,
+           ROUND(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * (1.2 + 1))
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / avg_len))
+           ), 4) AS bm25
+    FROM tf JOIN dfc USING (term), stats, avglen
+    GROUP BY key
+    ORDER BY bm25 DESC, key ASC
+    LIMIT 10
+    """,
+    doc="BM25 keyword search top-k (the deterministic half of "
+        "Query/search.py:46-70's hybrid search)")
+def bm25_search(spark, sf_dir):
+    from ..operators.search import bm25_topk
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "text", "doc_id", list(_BM25_TERMS), k=10)
+
+
 @register(
     "merge_upsert_orders",
     """

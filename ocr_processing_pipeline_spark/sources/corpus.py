@@ -31,6 +31,7 @@ import pyarrow.parquet as pq
 from ..extractor.core import PDF_MAGIC
 
 SEED = 42
+CORPUS_VERSION = 2   # bump when the grammar changes → caches regenerate
 
 _HOSTS = [
     ("archive.example.ch", 0.50),   # the skewed host
@@ -220,14 +221,43 @@ def _sidebar(rng, lang) -> str:
     return f'<div class="sidebar">{links}</div>'
 
 
+def _entityify(rng, text: str) -> str:
+    """Sprinkle HTML entities into body text (convert_charrefs coverage)."""
+    words = text.split(" ")
+    if len(words) > 4 and rng.random() < 0.5:
+        i = rng.randint(1, len(words) - 2)
+        words[i] = words[i] + " &amp; " + rng.choice(
+            ["M&uuml;ller", "Caf&eacute;", "&quot;zit&quot;"])
+    return " ".join(words)
+
+
+def _content_table(rng, lang) -> str:
+    cells = []
+    for _ in range(rng.randint(2, 4)):
+        row = "".join(
+            f"<td>{_sentence(rng, lang)}</td>" for _ in range(2))
+        cells.append(f"<tr>{row}</tr>")
+    return "<table>" + "".join(cells) + "</table>"
+
+
 def _render_html(rng, lang, title, paras) -> str:
-    body_paras = "".join(f"<p>{p}</p>" for p in paras)
+    blocks = []
+    for p in paras:
+        blocks.append(f"<p>{_entityify(rng, p)}</p>")
+    if rng.random() < 0.25:
+        blocks.append(_content_table(rng, lang))
+    if rng.random() < 0.15:
+        blocks.append(f"<pre>{_sentence(rng, lang)}\n"
+                      f"{_sentence(rng, lang)}</pre>")
+    body = "".join(blocks)
     ad = '<div class="ad"><a href="http://ads.example/x">buy now</a></div>'
+    comment = f"<!-- layout v{rng.randint(1, 9)}: do not index -->"
     return (
         "<!DOCTYPE html><html><head><title>" + title + "</title>"
         "<script>var x=1;</script><style>p{color:#000}</style></head>"
-        "<body>" + _boilerplate_nav(rng, lang) + _sidebar(rng, lang) + ad +
-        f"<article><h1>{title}</h1>{body_paras}</article>" +
+        "<body>" + comment + _boilerplate_nav(rng, lang)
+        + _sidebar(rng, lang) + ad +
+        f"<article><h1>{title}</h1>{body}</article>" +
         _sidebar(rng, lang) +
         "<footer><a href='/impressum'>impressum</a> · "
         "<a href='/contact'>contact</a></footer></body></html>"
@@ -340,7 +370,8 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = SEED,
 def ensure_corpus(out_dir: str, n_rows: int, seed: int = SEED,
                   shards: int = 1) -> dict:
     """Idempotent write_corpus — reuses files if already generated."""
-    marker = os.path.join(out_dir, f".complete-{n_rows}-{seed}-{shards}")
+    marker = os.path.join(
+        out_dir, f".complete-v{CORPUS_VERSION}-{n_rows}-{seed}-{shards}")
     names = ("pages", "persons", "places", "orgs")
     paths = {n: os.path.join(out_dir, f"{n}.parquet") for n in names}
     if os.path.exists(marker) and all(os.path.exists(p)
