@@ -103,6 +103,75 @@ def ann_topk(df: DataFrame, vec_col: str, key_col: str, query_vec: list,
             .limit(k))
 
 
+def ivf_index(df: DataFrame, vec_col: str, key_col: str,
+              n_cells: int = 16, iters: int = 2,
+              dim: int | None = None) -> tuple:
+    """IVF coarse quantizer: deterministic k-means (init = lowest keys),
+    Lloyd iterations as DataFrame ops, returns (assigned_df, centroids).
+
+    assigned_df: (key, vec, cell). centroids: driver-side list of
+    (cell, vector) — k·dim floats, tiny. Training shuffles are
+    broadcast-assign + per-dim avg aggregates (map-side partials);
+    nothing quadratic. At 10^12 rows you train on a sample and assign
+    the full table in one narrow pass — assignment here IS that pass.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(key_col).alias("key"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("vec"))
+    cents = [r["vec"] for r in
+             base.orderBy("key").limit(n_cells).collect()]
+
+    def assign(centroids) -> DataFrame:
+        arrs = [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+        d2 = [F.aggregate(F.zip_with(F.col("vec"), a,
+                                     lambda x, y: (x - y) * (x - y)),
+                          F.lit(0.0), lambda acc, v: acc + v)
+              for a in arrs]
+        best = F.lit(0)
+        best_d = d2[0]
+        for i in range(1, len(d2)):
+            cond = d2[i] < best_d
+            best = F.when(cond, F.lit(i)).otherwise(best)
+            best_d = F.when(cond, d2[i]).otherwise(best_d)
+        return base.withColumn("cell", best.cast("int"))
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        aggs = [F.avg(F.col("vec")[i]).alias(f"m{i}") for i in range(dim)]
+        new = (assigned.groupBy("cell").agg(*aggs)
+               .orderBy("cell").collect())
+        by_cell = {r["cell"]: [r[f"m{i}"] for i in range(dim)]
+                   for r in new}
+        cents = [by_cell.get(i, cents[i]) for i in range(len(cents))]
+    return assign(cents), cents
+
+
+def ivf_topk(df: DataFrame, vec_col: str, key_col: str, query_vec: list,
+             k: int = 10, n_cells: int = 16, n_probe: int = 4,
+             iters: int = 2, round_to: int = 5) -> DataFrame:
+    """IVF ANN: probe the n_probe nearest cells, exact cosine re-rank
+    inside them. Candidate fraction ≈ n_probe/n_cells of the corpus."""
+    assigned, cents = ivf_index(df, vec_col, key_col,
+                                n_cells=n_cells, iters=iters,
+                                dim=len(query_vec))
+    q = [float(x) for x in query_vec]
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = sorted(range(len(cents)),
+                   key=lambda i: (l2(q, cents[i]), i))[:n_probe]
+    cands = assigned.filter(F.col("cell").isin(probe))
+    return (cands
+            .select("key",
+                    F.round(cosine_to(q, F.col("vec")), round_to)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("key"))
+            .limit(k))
+
+
 def label_centroids(df: DataFrame, vec_col: str, label_col: str,
                     round_to: int = 5, dim: int | None = None) -> DataFrame:
     """Element-wise mean vector per label.
@@ -124,4 +193,4 @@ def label_centroids(df: DataFrame, vec_col: str, label_col: str,
 
 
 __all__ = ["brute_force_topk", "ann_topk", "lsh_signature",
-           "label_centroids", "cosine_to"]
+           "ivf_index", "ivf_topk", "label_centroids", "cosine_to"]

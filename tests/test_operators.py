@@ -84,6 +84,27 @@ def test_ann_recall_vs_brute_force(spark):
     assert exact[0] == 1  # the query vector itself is its own best match
 
 
+def test_ivf_topk_recall_and_candidate_fraction(spark):
+    from ocr_processing_pipeline_spark.operators.similarity import (
+        ivf_index, ivf_topk)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = [r.key for r in brute_force_topk(
+        e, "embedding", "vec_id", qvec, k=10).collect()]
+    approx = [r.key for r in ivf_topk(
+        e, "embedding", "vec_id", qvec, k=10, n_cells=8,
+        n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4     # near-uniform random vectors: hardest case
+    assert approx[0] == 7    # query's own vector is in its own cell
+    # the index actually partitions the corpus
+    assigned, cents = ivf_index(e, "embedding", "vec_id", n_cells=8)
+    sizes = assigned.groupBy("cell").count().collect()
+    assert len(sizes) == 8
+    assert max(r["count"] for r in sizes) < e.count()  # no single blob
+
+
 def test_label_centroids_shape(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = label_centroids(e, "embedding", "label").collect()
