@@ -72,9 +72,13 @@ class GazetteerIndex:
         for p in persons:
             toks = full_process(p.get("name", "")).split()
             if toks:
+                # years parsed ONCE at index build (apertus_ner_chunk.py
+                # :185,194 split('.')[0] semantics preserved in _parse_year)
                 self.person_block.setdefault(toks[-1], []).append(
                     (p, sort_tokens(p.get("name", "")),
-                     sort_tokens(p.get("lemma", ""))))
+                     sort_tokens(p.get("lemma", "")),
+                     _parse_year(p.get("birthyear")),
+                     _parse_year(p.get("deathyear"))))
         self.place_block: dict[str, list[tuple]] = {}
         for pl in places:
             forms = tuple(sort_tokens(pl.get(k) or "")
@@ -110,16 +114,12 @@ class GazetteerIndex:
 
     def scan(self, text: str) -> list[dict]:
         """Longest-match scan; returns mentions with char spans."""
-        # tokens with char offsets
-        toks: list[tuple[str, int, int]] = []
-        cursor = 0
-        for t in tokenize(text):
-            start = text.find(t, cursor)
-            if start < 0:
-                start = cursor
-            toks.append((t, start, start + len(t)))
-            cursor = start + len(t)
-        norm = [full_process(t) for t, _, _ in toks]
+        from .textproc import token_spans
+        toks = token_spans(text)   # finditer: offsets without re-search
+        # fast-path normalization: single tokens are alnum in the common
+        # case, where full_process == lower() (regex only for the rest)
+        norm = [t.lower() if t.isalnum() else full_process(t)
+                for t, _, _ in toks]
         mentions = []
         i = 0
         n = len(toks)
@@ -225,21 +225,21 @@ def chunk_role_hints(chunk_text: str) -> frozenset:
                      if kw in chunk_lower)
 
 
-def link_single(mention: str, entity_type: str, index: GazetteerIndex,
-                doc_date: date | None, hinted_roles: frozenset):
-    """Link one (mention, type): returns (predicate, candidate, score) or
-    None. Deterministic — safe to memoize on exactly these arguments
-    (pipeline/ner.py does, since web-text mention frequency is Zipfian).
-    """
+def _fuzzy_candidates(mention: str, entity_type: str,
+                      index: GazetteerIndex):
+    """Date/role-independent candidate scoring — the expensive half of
+    linking (fuzzy ratios + URL-prefix guard). Deterministic in
+    (mention, entity_type) only, hence memoizable with a high hit rate
+    even though every document carries a distinct date."""
     toks = full_process(mention).split()
     if not toks:
         return None
     block_key = toks[-1]
     m_sorted = " ".join(sorted(toks))
     if entity_type == "PER":
-        cands = index.person_block.get(block_key, [])
         scored = []
-        for c, name_sorted, lemma_sorted in cands:
+        for entry in index.person_block.get(block_key, []):
+            c, name_sorted, lemma_sorted, birth, death = entry
             score = ratio_presorted(m_sorted, name_sorted,
                                     min_score=FUZZ_THRESHOLD)
             if len(toks) == 1:
@@ -248,25 +248,71 @@ def link_single(mention: str, entity_type: str, index: GazetteerIndex,
                     m_sorted, lemma_sorted, min_score=FUZZ_THRESHOLD))
             if score < FUZZ_THRESHOLD:
                 continue
-            if not person_date_plausible(c, doc_date):
+            if not str(c.get("url", "")).startswith(PERSON_URL_PREFIX):
+                continue
+            scored.append((score, c, birth, death))
+        return ("hasSubject", scored)
+    if entity_type == "LOC":
+        cands = _multiname_scored(m_sorted, index.place_block.get(
+            block_key, []), PLACE_URL_PREFIX)
+        return ("hasPlace", cands)
+    if entity_type == "ORG":
+        cands = _multiname_scored(m_sorted, index.org_block.get(
+            block_key, []), ORG_URL_PREFIX)
+        return ("hasSubject", cands)
+    return None
+
+
+def _years_plausible(birth, death, doc_date) -> bool:
+    """F7 on precomputed years (parse-failure pass-through preserved)."""
+    if doc_date is None:
+        return True
+    window = timedelta(days=DATE_WINDOW_DAYS)
+    if death is not None:
+        try:
+            if date(death, 12, 31) + window < doc_date:
+                return False
+        except ValueError:
+            pass
+    if birth is not None:
+        try:
+            if date(birth, 1, 1) + window > doc_date:
+                return False
+        except ValueError:
+            pass
+    return True
+
+
+def link_single(mention: str, entity_type: str, index: GazetteerIndex,
+                doc_date: date | None, hinted_roles: frozenset,
+                cand_memo: dict | None = None):
+    """Link one (mention, type): returns (predicate, candidate, score) or
+    None. ``cand_memo`` caches the fuzzy-scored candidates per
+    (mention, type); the per-call date/role filters are dict lookups.
+    """
+    key = (mention, entity_type)
+    if cand_memo is not None and key in cand_memo:
+        res = cand_memo[key]
+    else:
+        res = _fuzzy_candidates(mention, entity_type, index)
+        if cand_memo is not None:
+            cand_memo[key] = res
+    if res is None:
+        return None
+    predicate, scored = res
+    if entity_type == "PER":
+        kept = []
+        for score, c, birth, death in scored:
+            if not _years_plausible(birth, death, doc_date):
                 continue
             roles = c.get("roles") or []
             if hinted_roles and roles and not (hinted_roles & set(roles)):
                 continue
-            if not str(c.get("url", "")).startswith(PERSON_URL_PREFIX):
-                continue
-            scored.append((score, c))
+            kept.append((score, c))
+        best = _best(kept)
+    else:
         best = _best(scored)
-        return None if best is None else ("hasSubject",) + best[::-1]
-    if entity_type == "LOC":
-        best = _match_multiname_s(m_sorted, index.place_block.get(
-            block_key, []), PLACE_URL_PREFIX)
-        return None if best is None else ("hasPlace",) + best[::-1]
-    if entity_type == "ORG":
-        best = _match_multiname_s(m_sorted, index.org_block.get(
-            block_key, []), ORG_URL_PREFIX)
-        return None if best is None else ("hasSubject",) + best[::-1]
-    return None
+    return None if best is None else (predicate,) + best[::-1]
 
 
 def link_mentions(mentions: list[dict], index: GazetteerIndex,
@@ -279,28 +325,22 @@ def link_mentions(mentions: list[dict], index: GazetteerIndex,
     by (score desc, identifier asc) — the deterministic analogue of the
     reference's hybrid-search top-k + filters (apertus_ner_chunk.py:134-232).
 
-    ``memo`` (optional dict) caches per-(mention, type, date, hints) link
-    results across chunks — the hot path for repeated mentions.
+    ``memo`` (optional dict) caches the fuzzy-scored candidate lists per
+    (mention, type) across chunks — the date/role filters re-run per call.
     """
     hinted_roles = chunk_role_hints(chunk_text)
     edges = []
     for m in mentions:
-        key = (m["mention"], m["entity_type"], doc_date, hinted_roles)
-        if memo is not None and key in memo:
-            res = memo[key]
-        else:
-            res = link_single(m["mention"], m["entity_type"], index,
-                              doc_date, hinted_roles)
-            if memo is not None:
-                memo[key] = res
+        res = link_single(m["mention"], m["entity_type"], index,
+                          doc_date, hinted_roles, cand_memo=memo)
         if res is not None:
             predicate, cand, score = res
             edges.append(_edge(m, predicate, cand, score))
     return edges
 
 
-def _match_multiname_s(m_sorted: str, cands: list[tuple],
-                       url_prefix: str):
+def _multiname_scored(m_sorted: str, cands: list[tuple],
+                      url_prefix: str) -> list:
     scored = []
     for c, forms in cands:
         score = max(ratio_presorted(m_sorted, f,
@@ -311,7 +351,7 @@ def _match_multiname_s(m_sorted: str, cands: list[tuple],
         if not str(c.get("url", "")).startswith(url_prefix):
             continue
         scored.append((score, c))
-    return _best(scored)
+    return scored
 
 
 def _best(scored: list):

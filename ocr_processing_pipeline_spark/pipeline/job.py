@@ -63,9 +63,14 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
                     .orderBy("bucket").limit(fail_after_buckets).collect()]
         todo = todo.filter(F.col("bucket").isin(some))
 
-    # buckets touched by THIS run (cheap job: pruned scan + hash only)
-    run_buckets = [r.bucket for r in
-                   todo.select("bucket").distinct().collect()]
+    # buckets touched by THIS run. Fresh run (no checkpoint): all buckets
+    # by construction — skip the discovery scan entirely.
+    checkpoint_exists = lineage._exists(checkpoint_path)
+    if resume and not checkpoint_exists and fail_after_buckets is None:
+        run_buckets = list(range(n_buckets))
+    else:
+        run_buckets = [r.bucket for r in
+                       todo.select("bucket").distinct().collect()]
     if not run_buckets:
         return {"docs": 0, "chunks": 0, "edges": 0, "checkpoint": 0,
                 "skipped": "nothing to do (all buckets committed)"}
