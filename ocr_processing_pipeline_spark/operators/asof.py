@@ -26,6 +26,12 @@ def asof_join_backward(left: DataFrame, right: DataFrame,
 
     Implementation: union both sides tagged, one window sort per key,
     forward-fill the right values, keep left rows.
+
+    Determinism caveat: if the right side has DUPLICATE (on, right_ts)
+    rows, which of them wins is partition-order-dependent — dedup the
+    right side first (row_number over a total order), as DuckDB's ASOF
+    JOIN requires too. tests/test_asof_property.py pins the semantics
+    against DuckDB on random inputs under that precondition.
     """
     l_cols = left.columns
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn(
