@@ -760,6 +760,32 @@ def fuzzy_levenshtein(spark, sf_dir):
 
 
 @register(
+    "regex_log_parse",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s,
+           CAST(regexp_extract(CAST(event_id AS VARCHAR),
+                '([0-9])', 1) AS INT) AS first_digit
+    FROM events WHERE event_type = 'error'
+    """,
+    doc="C1/C2/C8: regex field extraction + timestamp parse/format "
+        "(Monitoring/log_parser.py:11-21 shape)")
+def regex_log_parse(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.filter(F.col("event_type") == "error")
+            .select(
+                "event_id",
+                F.regexp_extract("props", r'"k": ([0-9]+)', 1)
+                .cast("int").alias("k"),
+                F.date_format(F.date_trunc("hour", "ts"),
+                              "yyyy-MM-dd HH:00").alias("hour_s"),
+                F.regexp_extract(F.col("event_id").cast("string"),
+                                 r"([0-9])", 1).cast("int")
+                .alias("first_digit")))
+
+
+@register(
     "fixed_window_chunks",
     """
     SELECT doc_id,
@@ -869,8 +895,10 @@ def bm25_search(spark, sf_dir):
     "merge_upsert_orders",
     """
     WITH source AS (
+      -- +1000.0 not *1.1: multiplication lands on .005 rounding
+      -- boundaries where Spark (HALF_UP) and DuckDB disagree
       SELECT o_orderkey, o_custkey, o_orderstatus,
-             ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+             ROUND(o_totalprice + 1000.0, 2) AS o_totalprice
       FROM orders WHERE o_orderstatus = 'O'),
     survivors AS (
       SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -888,7 +916,7 @@ def merge_upsert_orders(spark, sf_dir):
         F.round("o_totalprice", 2).alias("o_totalprice"))
     source = (o.filter(F.col("o_orderstatus") == "O")
               .withColumn("o_totalprice",
-                          F.round(F.col("o_totalprice") * 1.1, 2)))
+                          F.round(F.col("o_totalprice") + 1000.0, 2)))
     return merge_upsert(o, source, ["o_orderkey"])
 
 
