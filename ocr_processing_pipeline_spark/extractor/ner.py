@@ -30,7 +30,6 @@ from datetime import date, timedelta
 from ..functions.fuzzy import (FUZZ_SINGLE_THRESHOLD, FUZZ_THRESHOLD,
                                full_process, ratio, ratio_presorted,
                                sort_tokens)
-from .textproc import tokenize
 
 DATE_WINDOW_DAYS = 7300  # apertus_ner_chunk.py:186,195
 

@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline.extract import extract_docs
-from ..sources.corpus import PAGES_SCHEMA
 
 PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
              "text string, lang string")
