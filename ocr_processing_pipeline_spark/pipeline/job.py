@@ -45,6 +45,7 @@ DEFAULT_N_BUCKETS = 64
 def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
                  out_dir: str, n_buckets: int = DEFAULT_N_BUCKETS,
                  resume: bool = True,
+                 with_mentions: bool = False,
                  fail_after_buckets: int | None = None) -> dict:
     """Run (or resume) the full pipeline; returns per-table row counts.
 
@@ -106,6 +107,18 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
     edges_path = os.path.join(out_dir, "edges")
     lineage.write_partitioned(edges, edges_path)
+
+    if with_mentions:
+        # raw mention spans (FIXTURES.md §3 'entities' table) — optional:
+        # an extra scan pass over chunks, off by default
+        mentions = (ner_mod.extract_mentions(chunks_this_run, gaz_bc)
+                    .join(chunks_this_run.select("chunk_id", "url"),
+                          "chunk_id")
+                    .withColumn("bucket", F.pmod(F.xxhash64("url"),
+                                                 F.lit(n_buckets))
+                                .cast("int")))
+        lineage.write_partitioned(
+            mentions, os.path.join(out_dir, "mentions"))
 
     # lineage/metrics rows LAST (commit point) — crash before this line ⇒
     # buckets get reprocessed and dynamically overwritten next run.

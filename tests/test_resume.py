@@ -44,6 +44,16 @@ def test_partial_then_resume(spark, corpus_dir, tmp_path):
     assert spark.read.parquet(os.path.join(out, "docs")).count() == n_pages
 
 
+def test_with_mentions_table(spark, corpus_dir, tmp_path):
+    out = str(tmp_path / "out_m")
+    run_pipeline(spark, f"{corpus_dir}/pages.parquet", corpus_dir, out,
+                 n_buckets=4, with_mentions=True)
+    m = spark.read.parquet(os.path.join(out, "mentions"))
+    assert m.count() > 0
+    assert {"chunk_id", "mention", "entity_type", "span_start",
+            "span_end", "url", "bucket"} <= set(m.columns)
+
+
 def test_idempotent_rerun_no_resume(spark, corpus_dir, tmp_path):
     """Force-reprocessing everything must not duplicate rows (dynamic
     partition overwrite) — idempotent re-append guard, SURVEY §7.6."""
