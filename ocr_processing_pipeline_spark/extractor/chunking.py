@@ -117,47 +117,18 @@ def chunk_document(doc_id: str, text: str) -> list[dict]:
     if not recs:
         return []
 
-    # W5: split giant docs into overlapping token windows, chunk each window
-    # independently, then drop chunks fully inside the overlap of a previous
-    # window (dedup on span_start) — spans stay global because sentence char
-    # offsets are global already (the remap of late_chunking_api.py:417-421
-    # is unnecessary when offsets are computed once, globally).
-    total_tokens = sum(r["n_tokens"] for r in recs)
-    windows: list[list[dict]] = []
-    if total_tokens <= WINDOW_TOKEN_LIMIT:
-        windows.append(recs)
-    else:
-        i = 0
-        while i < len(recs):
-            w: list[dict] = []
-            w_tokens = 0
-            j = i
-            while j < len(recs) and w_tokens + recs[j]["n_tokens"] <= WINDOW_TOKEN_LIMIT:
-                w.append(recs[j])
-                w_tokens += recs[j]["n_tokens"]
-                j += 1
-            if j == i:  # single sentence longer than the window: take it alone
-                w = [recs[i]]
-                j = i + 1
-            windows.append(w)
-            if j >= len(recs):
-                break
-            # step back so the next window overlaps by ~WINDOW_OVERLAP tokens
-            back_tokens = 0
-            k = j
-            while k > i + 1 and back_tokens < WINDOW_OVERLAP:
-                k -= 1
-                back_tokens += recs[k]["n_tokens"]
-            i = k
-
-    seen_starts: set[int] = set()
-    all_chunks: list[list[dict]] = []
-    for w in windows:
-        for ch in _merge_single_sentence_chunks(_chunk_sentence_run(w)):
-            if ch[0]["start"] in seen_starts:
-                continue
-            seen_starts.add(ch[0]["start"])
-            all_chunks.append(ch)
+    # W5 note: the reference splits docs > 8192 tokens into overlapping
+    # token windows because its embedding model has an 8192 context
+    # (lora_chunking_api.py:329-339); the overlap exists for embedding
+    # context, and its chunk duplicates are deduped by global-span remap
+    # (late_chunking_api.py:417-421). With model inference dropped (north
+    # rule), the greedy fold below IS the whole-document computation —
+    # windowed re-chunking of overlap regions would produce boundary-
+    # shifted overlapping chunks (a bug this code used to have, caught by
+    # tests/test_giant_doc.py). Sentence char offsets are global, so
+    # spans need no remap; WINDOW_TOKEN_LIMIT/WINDOW_OVERLAP remain as
+    # the documented contract for a future embedding-bearing variant.
+    all_chunks = _merge_single_sentence_chunks(_chunk_sentence_run(recs))
 
     # W6: deterministic ordering by span start, then number.
     all_chunks.sort(key=lambda ch: ch[0]["start"])
