@@ -760,6 +760,52 @@ def fuzzy_levenshtein(spark, sf_dir):
 
 
 @register(
+    "sanitize_text",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text, '"', '', 'g'), '\\\\', '', 'g'), '\\n+', ' ', 'g'))
+             AS sanitized_md5,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
+             AS len_novowels
+    FROM documents
+    """,
+    doc="C5: chained regexp_replace sanitization "
+        "(lora_chunking_api.py:191 SPARQL-escape analogue)")
+def sanitize_text(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("text", '"', ""),
+                         r"\\", ""), r"\n+", " ")
+    return d.select(
+        "doc_id", F.md5(clean).alias("sanitized_md5"),
+        F.length(F.regexp_replace("text", "[aeiou]", ""))
+        .cast("int").alias("len_novowels"))
+
+
+@register(
+    "cube_event_stats",
+    """
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(CAST(user_id % 4 AS VARCHAR), 'ALL') AS cohort,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(value), 2) AS total
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 4)
+    """,
+    doc="CUBE grouping sets over two dimensions")
+def cube_event_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cohort0", (F.col("user_id") % 4).cast("string"))
+    return (e.cube("event_type", "cohort0")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+                    F.coalesce("cohort0", F.lit("ALL")).alias("cohort"),
+                    "n", "total"))
+
+
+@register(
     "regex_log_parse",
     """
     SELECT event_id,
