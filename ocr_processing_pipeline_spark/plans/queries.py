@@ -534,6 +534,38 @@ def window_topk_per_group(spark, sf_dir):
 
 
 @register(
+    "running_window_frames",
+    """
+    SELECT user_id, event_id,
+           ROUND(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           ROUND(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 5)
+             AS moving_avg3,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+             AS user_total
+    FROM events WHERE user_id < 10
+    """,
+    doc="W2-style cumulative frames: running sum, moving average, "
+        "partition totals (rowsBetween frame specs)")
+def running_window_frames(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+        .alias("running_total"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 5)
+        .alias("moving_avg3"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        .cast("long").alias("user_total"))
+
+
+@register(
     "dedup_first_event",
     """
     SELECT * FROM (
