@@ -72,6 +72,43 @@ def test_extractor_never_crashes_on_garbage(payload):
     assert isinstance(res.failure_code, str)
 
 
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=40), st.text(max_size=40))
+def test_fuzzy_ratio_invariants(a, b):
+    from ocr_processing_pipeline_spark.functions.fuzzy import (
+        ratio, sort_tokens, ratio_presorted, token_sort_ratio)
+    r = ratio(a, b)
+    assert 0 <= r <= 100
+    assert r == ratio(b, a)                      # symmetry
+    assert ratio(a, a) == 100                    # identity
+    t = token_sort_ratio(a, b)
+    assert 0 <= t <= 100
+    assert t == token_sort_ratio(b, a)
+    # presorted fast path ≡ the composed definition
+    assert t == ratio_presorted(sort_tokens(a), sort_tokens(b))
+    # the min_score prune never changes accept/reject at the threshold
+    pruned = ratio_presorted(sort_tokens(a), sort_tokens(b), min_score=85)
+    assert (pruned >= 85) == (t >= 85)
+
+
+def test_langid_on_clear_text():
+    from ocr_processing_pipeline_spark.extractor.textproc import detect_lang
+    assert detect_lang(
+        "der bundesrat ist nicht mit der vorlage zufrieden und das "
+        "parlament hat die sitzung verschoben") == "de"
+    assert detect_lang(
+        "le conseil est dans une situation difficile pour les cantons "
+        "et il ne peut pas décider") == "fr"
+    assert detect_lang(
+        "il consiglio non è una autorità che può decidere per i comuni "
+        "di questo cantone") == "it"
+    assert detect_lang(
+        "the council is not able to decide this matter for the cantons "
+        "and will not act") == "en"
+    assert detect_lang("") == "und"
+    assert detect_lang("zxq vbnm qwrt 123") == "und"
+
+
 NAMES = ["Arthur Hoffmann", "Emil Welti", "Sankt Gallen"]
 
 
