@@ -29,6 +29,10 @@ def full_process(s: str) -> str:
 
 
 def ratio(a: str, b: str) -> int:
+    """SequenceMatcher similarity ×100. NOT symmetric in edge cases
+    (difflib matches relative to the first argument) — call sites pin the
+    order as ratio(query/mention, candidate), which keeps linking
+    deterministic; see tests/test_properties.py."""
     a, b = full_process(a), full_process(b)
     if not a and not b:
         return 100

@@ -79,11 +79,15 @@ def test_fuzzy_ratio_invariants(a, b):
         ratio, sort_tokens, ratio_presorted, token_sort_ratio)
     r = ratio(a, b)
     assert 0 <= r <= 100
-    assert r == ratio(b, a)                      # symmetry
     assert ratio(a, a) == 100                    # identity
+    assert r == ratio(a, b)                      # deterministic
+    # NOTE: difflib's matching is computed relative to the FIRST argument,
+    # so ratio is not symmetric in general (hypothesis found 'þ:þ' vs
+    # '0:0þ' → 29 vs 57). Every pipeline call site uses a fixed order
+    # (mention, gazetteer-form), so linking stays deterministic — the
+    # pinned formula is "ratio(query, candidate)" (SURVEY §7 hard part 4).
     t = token_sort_ratio(a, b)
     assert 0 <= t <= 100
-    assert t == token_sort_ratio(b, a)
     # presorted fast path ≡ the composed definition
     assert t == ratio_presorted(sort_tokens(a), sort_tokens(b))
     # the min_score prune never changes accept/reject at the threshold
