@@ -9,7 +9,7 @@ rules over broadcast gazetteers, preserving the reference's *semantics*:
   forms; emits (mention, entity_type, char span)
 - A5 last-name reduce: single-token PER mentions fuzzy-matching the last
   name of a multi-token mention in the same doc collapse into it
-  (apertus_ner_chunk.py:97-119, fuzz.ratio ≥ 80 at :111)
+  (apertus_ner_chunk.py:97-119, fuzz.ratio ≥ 85 at :100,:111)
 - J1 linking: candidates by blocked key (lowercased last token), scored with
   token_sort_ratio (≥ 85, apertus_ner_chunk.py:174-178 / env FUZZ :28)
 - F7 date plausibility: drop person if died > 7300 days before doc date or
@@ -154,7 +154,7 @@ def reduce_person_mentions(names: list[str]) -> list[str]:
     """Collapse single names into fuzzy-matching full names; sorted set.
 
     Mirrors apertus_ner_chunk.py:97-119: for each single-token name, if its
-    fuzz.ratio against the LAST token of any multi-token name ≥ 80, drop the
+    fuzz.ratio against the LAST token of any multi-token name ≥ 85, drop the
     single (the full name subsumes it). Returns sorted unique survivors.
     """
     uniq = sorted(set(names))
@@ -191,7 +191,9 @@ def person_date_plausible(person: dict, doc_date: date | None) -> bool:
     window = timedelta(days=DATE_WINDOW_DAYS)
     if death is not None:
         try:
-            if date(death, 12, 31) + window < doc_date:
+            # Jan-1 anchor for BOTH bounds (datetime(year,1,1) at
+            # apertus_ner_chunk.py:186,195)
+            if date(death, 1, 1) + window < doc_date:
                 return False  # died > 20y before the document
         except ValueError:
             pass
@@ -269,7 +271,7 @@ def _years_plausible(birth, death, doc_date) -> bool:
     window = timedelta(days=DATE_WINDOW_DAYS)
     if death is not None:
         try:
-            if date(death, 12, 31) + window < doc_date:
+            if date(death, 1, 1) + window < doc_date:  # Jan-1 anchor, :186
                 return False
         except ValueError:
             pass

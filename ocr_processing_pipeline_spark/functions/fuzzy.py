@@ -8,9 +8,9 @@ SequenceMatcher-based formula ``100 * 2*M / (len(a)+len(b))`` rounded to the
 nearest int, with the standard full_process normalization (lowercase, strip
 non-alphanumeric runs to single spaces).
 
-Thresholds mirror the reference's env-tunable defaults
-(apertus_ner_chunk.py:27-28): FUZZ=85 for linking, FUZZ_SINGLE=80 for the
-single-name reduce.
+Thresholds mirror the reference: FUZZ=85 for linking (env-tunable default,
+apertus_ner_chunk.py:27) and 85 for the single-name reduce
+(group_and_reduce_entities' threshold=85 default, apertus_ner_chunk.py:100).
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ import re
 from difflib import SequenceMatcher
 
 FUZZ_THRESHOLD = 85
-FUZZ_SINGLE_THRESHOLD = 80
+FUZZ_SINGLE_THRESHOLD = 85
 
 _NON_ALNUM_RE = re.compile(r"[^\w]+", re.UNICODE)
 

@@ -213,17 +213,41 @@ def simhash(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     return df.select(F.col(key_col).alias("key"), sig.alias("simhash"))
 
 
-def simhash_candidates(sig: DataFrame, prefix_bits: int = 8) -> DataFrame:
-    """Hamming-bucket candidates: keys sharing the top prefix_bits."""
-    bucketed = sig.withColumn(
-        "bucket", F.shiftright("simhash", SIMHASH_BITS - prefix_bits))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (a.join(b, "bucket")
+def simhash_candidates(sig: DataFrame, n_bands: int = 4,
+                       max_bucket_size: int | None = 10000) -> DataFrame:
+    """Banded hamming candidates with a recall GUARANTEE.
+
+    The signature is split into ``n_bands`` disjoint bit bands; keys
+    sharing any band collide. Pigeonhole: two signatures with hamming
+    distance ≤ n_bands - 1 differ in at most n_bands - 1 bands, so at
+    least one band matches exactly — every such pair is guaranteed a
+    candidate (a single-prefix bucket misses pairs whose lone differing
+    bit lands inside the prefix). ``max_bucket_size`` mirrors
+    lsh_candidate_pairs: a band value shared by millions of boilerplate
+    pages would otherwise go O(bucket²) in the self-join.
+    """
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(*[
+        F.concat_ws("|", F.lit(str(i)),
+                    (F.shiftright("simhash", i * band_bits)
+                     .bitwiseAND(F.lit(mask))).cast("string"))
+        for i in range(n_bands)])
+    banded = sig.select("key", "simhash", F.explode(bands).alias("band"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band")
+        banded = (banded
+                  .withColumn("_bn", F.count(F.lit(1)).over(w))
+                  .filter(F.col("_bn") <= max_bucket_size)
+                  .drop("_bn"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, "band")
             .filter(F.col("a.key") < F.col("b.key"))
             .select(F.col("a.key").alias("key_a"),
                     F.col("b.key").alias("key_b"),
                     F.col("a.simhash").alias("sim_a"),
                     F.col("b.simhash").alias("sim_b"))
+            .distinct()
             .withColumn("hamming", F.bit_count(
                 F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
 

@@ -1,94 +1,173 @@
-"""Keyword search: TF-IDF / BM25 top-k over a text corpus.
+"""Keyword search: BM25 / hybrid / layered top-k over a text corpus.
 
 The deterministic half of the reference's search entry points
 (Query/search.py:46-70 hybrid = BM25 + vector, alpha 0.25;
 Query/layered_search.py:74-104 coarse-to-fine). The vector half runs over
 an embedding column via operators/similarity.py; ``hybrid_topk`` fuses
-both exactly like Weaviate's alpha blend. No model inference (north rule):
-query and corpus meet on exact token match + statistical weighting.
+both with Weaviate's relative-score fusion. No model inference (north
+rule): query and corpus meet on exact token match + statistical weighting.
 
-All relational: tokenize with split/explode (codegen), one groupBy for
-document stats, one for term stats, one join per query term (query terms
-are a literal list → broadcast). BM25 parameters k1=1.2, b=0.75 (Robertson
-et al., the standard defaults).
+Scale design (the 100 TB contract):
+- ONE pass over the corpus: per-doc length comes from ``size()`` of the
+  token array — never a corpus-wide token explode;
+- query-term hits are filtered INSIDE the token array (``F.filter`` +
+  ``isin``) BEFORE the explode, so only matching tokens ever become rows;
+- corpus stats (n_docs, avg_len) are one aggregation cross-joined back as
+  a broadcast single row — zero driver-side actions (`.count()`/
+  `.first()`) in the plan;
+- term document-frequencies are a tiny (≤ |query|) broadcast.
+
+BM25 parameters k1=1.2, b=0.75 (Robertson et al., the standard defaults).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def _tokens(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
-    toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
-        " ")
-    return (df.select(F.col(key_col).alias("key"),
-                      F.size(toks).alias("doc_len"),
-                      F.explode(toks).alias("term"))
-            .filter(F.length("term") > 0))
+def _tok_array(text_col):
+    """Nonempty whitespace tokens of normalized text, as an array column."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                 r"\s+", " "), " "),
+        lambda t: F.length(t) > 0)
+
+
+def bm25_scores(df: DataFrame, text_col: str, key_col: str,
+                query_terms: list[str], round_to: int = 4) -> DataFrame:
+    """(key, bm25) for every doc containing ≥1 query term. Single corpus
+    pass; see module docstring for the scale contract."""
+    terms = [t.lower() for t in query_terms]
+    toks = _tok_array(text_col)
+    base = df.select(F.col(key_col).alias("key"),
+                     F.size(toks).alias("doc_len"),
+                     F.filter(toks, lambda t: t.isin(terms)).alias("hits"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.when(F.col("doc_len") > 0, F.col("doc_len")))
+        .alias("avg_len"))
+    tf = (base.filter(F.size("hits") > 0)
+          .select("key", "doc_len", F.explode("hits").alias("term"))
+          .groupBy("key", "term")
+          .agg(F.count(F.lit(1)).alias("tf"),
+               F.max("doc_len").alias("doc_len")))
+    dfc = tf.groupBy("term").agg(F.countDistinct("key").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    w = (idf * (F.col("tf") * (BM25_K1 + 1))
+         / (F.col("tf") + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("doc_len") / F.col("avg_len"))))
+    return (tf.join(F.broadcast(dfc), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("w", w)
+            .groupBy("key")
+            .agg(F.round(F.sum("w"), round_to).alias("bm25")))
 
 
 def bm25_topk(df: DataFrame, text_col: str, key_col: str,
               query_terms: list[str], k: int = 10,
               round_to: int = 4) -> DataFrame:
     """Exact BM25 top-k for one query; deterministic tie-break on key."""
-    terms = [t.lower() for t in query_terms]
-    tok = _tokens(df, text_col, key_col)
-    n_docs = df.count()
-    avg_len = (tok.groupBy("key").agg(F.max("doc_len").alias("l"))
-               .agg(F.avg("l")).first()[0])
-
-    tf = (tok.filter(F.col("term").isin(terms))
-          .groupBy("key", "term")
-          .agg(F.count(F.lit(1)).alias("tf"),
-               F.max("doc_len").alias("doc_len")))
-    df_counts = tf.groupBy("term").agg(
-        F.countDistinct("key").alias("df"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        + 1.0)
-    scored = (tf.join(F.broadcast(df_counts), "term")
-              .withColumn(
-                  "w",
-                  idf * (F.col("tf") * (BM25_K1 + 1))
-                  / (F.col("tf") + BM25_K1
-                     * (1 - BM25_B
-                        + BM25_B * F.col("doc_len") / F.lit(avg_len)))))
-    return (scored.groupBy("key")
-            .agg(F.round(F.sum("w"), round_to).alias("bm25"))
+    return (bm25_scores(df, text_col, key_col, query_terms, round_to)
             .orderBy(F.desc("bm25"), F.asc("key"))
             .limit(k))
 
 
+def _minmax_norm(score_col: str, out_col: str):
+    """(s - min)/(max - min) over the whole (tiny, post-limit) leg;
+    degenerate legs (max == min) normalize to 1.0 like Weaviate."""
+    wall = Window.partitionBy()
+    mn, mx = F.min(score_col).over(wall), F.max(score_col).over(wall)
+    return F.when(mx == mn, F.lit(1.0)).otherwise(
+        (F.col(score_col) - mn) / (mx - mn)).alias(out_col)
+
+
 def hybrid_topk(df: DataFrame, text_col: str, key_col: str,
                 vec_col: str, query_terms: list[str], query_vec: list,
-                alpha: float = 0.25, k: int = 10) -> DataFrame:
-    """Weaviate-style hybrid: alpha·vector + (1-alpha)·keyword, each
-    rank-normalized (reciprocal-rank fusion variant, alpha=0.25 as in
-    Query/search.py:61)."""
+                alpha: float = 0.25, k: int = 10,
+                leg_window: int | None = None) -> DataFrame:
+    """Weaviate-style hybrid via **relative-score fusion** (the fusion
+    ``collection.query.hybrid(alpha=0.25)`` resolves to — Query/search.py:61):
+    each leg retrieves its top window, scores are min-max normalized within
+    the leg, fused = alpha·vector + (1-alpha)·keyword; a doc absent from a
+    leg contributes 0 for that leg. Both legs are top-k limited first, so
+    the fusion join is a few dozen rows regardless of corpus size."""
     from .similarity import cosine_to
-    from pyspark.sql import Window
-    bm = bm25_topk(df, text_col, key_col, query_terms, k=max(k * 5, 50))
+    window = leg_window or max(k * 5, 50)
+    bm = bm25_topk(df, text_col, key_col, query_terms, k=window)
     vec = (df.select(F.col(key_col).alias("key"),
                      F.round(cosine_to(query_vec, F.col(vec_col)), 5)
                      .alias("cosine"))
-           .orderBy(F.desc("cosine"), F.asc("key")).limit(max(k * 5, 50)))
-    w_bm = Window.orderBy(F.desc("bm25"), F.asc("key"))
-    w_v = Window.orderBy(F.desc("cosine"), F.asc("key"))
-    bm_r = bm.withColumn("r_bm", F.row_number().over(w_bm))
-    v_r = vec.withColumn("r_v", F.row_number().over(w_v))
-    fused = (bm_r.join(v_r, "key", "full_outer")
+           .orderBy(F.desc("cosine"), F.asc("key")).limit(window))
+    bm_n = bm.select("key", _minmax_norm("bm25", "bm_norm"))
+    v_n = vec.select("key", _minmax_norm("cosine", "v_norm"))
+    fused = (bm_n.join(v_n, "key", "full_outer")
              .withColumn(
                  "score",
-                 F.round((1 - alpha) / (60 + F.coalesce("r_bm", F.lit(10**6)))
-                         + alpha / (60 + F.coalesce("r_v", F.lit(10**6))),
-                         8)))
+                 F.round(F.lit(alpha) * F.coalesce("v_norm", F.lit(0.0))
+                         + F.lit(1 - alpha)
+                         * F.coalesce("bm_norm", F.lit(0.0)), 6)))
     return (fused.select("key", "score")
             .orderBy(F.desc("score"), F.asc("key")).limit(k))
 
 
-__all__ = ["bm25_topk", "hybrid_topk", "BM25_K1", "BM25_B"]
+def layered_topk(df: DataFrame, text_col: str, key_col: str,
+                 query_terms: list[str], doc_k: int = 20, k: int = 10,
+                 chunk_tokens: int = 64, round_to: int = 4) -> DataFrame:
+    """Coarse-to-fine layered search (Query/layered_search.py:74-104:
+    doc-level top-k → Filter.by_property('doc_id').contains_any →
+    chunk-level search within the survivors).
+
+    Stage 1: doc-level BM25 top ``doc_k`` — one corpus pass.
+    Stage 2: broadcast LEFT SEMI join restricts the corpus to the top docs
+    BEFORE any chunk explode (the expensive per-token work only ever
+    touches ``doc_k`` documents, not the corpus).
+    Stage 3: fixed ``chunk_tokens`` windows over the survivors; chunk-level
+    BM25 with stats over the restricted chunk corpus; top ``k`` chunks.
+
+    Returns (doc_id-as-key, chunk_no, score).
+    """
+    terms = [t.lower() for t in query_terms]
+    top_docs = (bm25_topk(df, text_col, key_col, query_terms, k=doc_k)
+                .select("key"))
+    survivors = df.join(
+        F.broadcast(top_docs),
+        df[key_col] == top_docs["key"], "left_semi")
+    tok = (survivors
+           .select(F.col(key_col).alias("key"),
+                   F.posexplode(_tok_array(text_col))
+                   .alias("pos0", "tok"))
+           .withColumn("chunk_no",
+                       F.floor(F.col("pos0") / chunk_tokens).cast("int")))
+    clen = (tok.groupBy("key", "chunk_no")
+            .agg(F.count(F.lit(1)).alias("chunk_len")))
+    ctf = (tok.filter(F.col("tok").isin(terms))
+           .groupBy("key", "chunk_no", F.col("tok").alias("term"))
+           .agg(F.count(F.lit(1)).alias("tf")))
+    stats = clen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_chunks"),
+        F.avg("chunk_len").alias("avg_len"))
+    cdf = ctf.groupBy("term").agg(
+        F.countDistinct("key", "chunk_no").alias("df"))
+    idf = F.log(
+        (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    w = (idf * (F.col("tf") * (BM25_K1 + 1))
+         / (F.col("tf") + BM25_K1
+            * (1 - BM25_B
+               + BM25_B * F.col("chunk_len") / F.col("avg_len"))))
+    return (ctf.join(clen, ["key", "chunk_no"])
+            .join(F.broadcast(cdf), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("w", w)
+            .groupBy("key", "chunk_no")
+            .agg(F.round(F.sum("w"), round_to).alias("score"))
+            .orderBy(F.desc("score"), F.asc("key"), F.asc("chunk_no"))
+            .limit(k))
+
+
+__all__ = ["bm25_scores", "bm25_topk", "hybrid_topk", "layered_topk",
+           "BM25_K1", "BM25_B"]

@@ -68,8 +68,16 @@ def remaining_pages(spark: SparkSession, pages: DataFrame,
 
 
 def write_partitioned(df: DataFrame, path: str) -> None:
-    """Write partitioned by bucket with dynamic overwrite (idempotent)."""
-    (df.write.mode("overwrite").partitionBy("bucket").parquet(path))
+    """Write partitioned by bucket with dynamic overwrite (idempotent).
+
+    The overwrite mode is pinned PER WRITE (not via session conf): on a
+    session without spark.sql.sources.partitionOverwriteMode=dynamic a
+    static overwrite would silently wipe every previously committed bucket
+    on resume.
+    """
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(path))
 
 
 def checkpoint_rows_with_failures(docs_with_bucket: DataFrame,

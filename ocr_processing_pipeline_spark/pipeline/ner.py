@@ -40,11 +40,17 @@ _INDEX_CACHE: dict = {}
 
 
 def _get_index(bc):
-    key = id(bc)
+    # key on the uuid token shipped INSIDE the broadcast value: id(bc) can
+    # be reused by a different broadcast after GC in a long-lived python
+    # worker, which would serve a stale trie built from other gazetteers
+    value = bc.value
+    if isinstance(value, tuple) and len(value) == 4:
+        key, persons, places, orgs = value
+    else:  # legacy 3-tuple broadcasts (no token): fall back to identity
+        key, (persons, places, orgs) = id(bc), value
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         from ..extractor.ner import GazetteerIndex
-        persons, places, orgs = bc.value
         idx = GazetteerIndex(persons, places, orgs)
         _INDEX_CACHE.clear()
         _INDEX_CACHE[key] = idx
@@ -53,11 +59,16 @@ def _get_index(bc):
 
 def load_gazetteers(spark: SparkSession, persons_path: str,
                     places_path: str, orgs_path: str):
-    """Read gazetteer parquet, collect (small), broadcast."""
+    """Read gazetteer parquet, collect (small), broadcast.
+
+    The broadcast tuple carries a uuid token as a stable cache identity
+    for the per-worker trie singleton (see _get_index)."""
+    import uuid
     persons = [r.asDict() for r in spark.read.parquet(persons_path).collect()]
     places = [r.asDict() for r in spark.read.parquet(places_path).collect()]
     orgs = [r.asDict() for r in spark.read.parquet(orgs_path).collect()]
-    return spark.sparkContext.broadcast((persons, places, orgs))
+    return spark.sparkContext.broadcast(
+        (uuid.uuid4().hex, persons, places, orgs))
 
 
 def extract_mentions(chunks: DataFrame, gaz_bc) -> DataFrame:

@@ -1152,7 +1152,14 @@ def media_features(spark, sf_dir):
     ensure_workers_can_import(spark)
     corpus = pages_corpus_dir(sf_dir)
     pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
-    return extract_features(sniff_media(pages, "html"), "html", "url")
+    feats = extract_features(sniff_media(pages, "html"), "html", "url")
+    # serialize the array<double> → one string column: the driver's
+    # canonicalizer hashes pandas values and lists are unhashable
+    return feats.select(
+        "key", "media_kind",
+        F.concat_ws(",", F.transform(
+            "features", lambda x: F.format_number(x, 5)))
+        .alias("features_csv"))
 
 
 def queries() -> dict:

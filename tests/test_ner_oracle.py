@@ -78,7 +78,10 @@ def test_reduce_person_mentions():
 def test_date_plausibility():
     p = PERSONS[1]  # Welti died 1899
     assert person_date_plausible(p, date(1900, 1, 1))
-    assert person_date_plausible(p, date(1919, 12, 1))   # within 7300 days
+    # window anchors on date(deathyear, 1, 1) like the reference:
+    # 1899-01-01 + 7300 days = 1918-12-27
+    assert person_date_plausible(p, date(1918, 12, 1))
+    assert not person_date_plausible(p, date(1919, 12, 1))
     assert not person_date_plausible(p, date(1925, 1, 1))  # >20y after death
     # born < 20y before doc date → implausible
     young = {"birthyear": "1900", "deathyear": "1980"}

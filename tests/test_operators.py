@@ -59,12 +59,43 @@ def test_jaccard_exact_values(docs_with_dups):
 def test_simhash_near_dup_low_hamming(docs_with_dups):
     sigs = simhash(docs_with_dups, "text", "doc_id")
     cands = {(r.key_a, r.key_b): r.hamming
-             for r in simhash_candidates(sigs, prefix_bits=4).collect()}
+             for r in simhash_candidates(sigs, n_bands=8).collect()}
     assert cands.get((1, 2)) == 0                      # identical text
     by_key = {r.key: r.simhash for r in sigs.collect()}
     ham13 = bin(by_key[1] ^ by_key[3]).count("1")
     ham14 = bin(by_key[1] ^ by_key[4]).count("1")
     assert ham13 < ham14                               # near < far
+
+
+def test_simhash_banding_catches_prefix_flips(spark):
+    """Pairs differing ONLY inside the top bits are guaranteed candidates
+    (the old single-prefix bucketing missed exactly these)."""
+    base = 0b10110100_01011010_11001100_00110101
+    rows = [
+        (1, base),
+        (2, base ^ (1 << 31)),       # hamming 1, flipped TOP bit
+        (3, base ^ (0b111 << 29)),   # hamming 3, all inside top band
+        # hamming 16, 4 flips in EVERY 8-bit band: far, shares no band
+        (4, base ^ 0b01010101_01010101_01010101_01010101),
+    ]
+    sigs = spark.createDataFrame(rows, "key long, simhash long")
+    cands = {(r.key_a, r.key_b): r.hamming
+             for r in simhash_candidates(sigs, n_bands=4).collect()}
+    assert cands.get((1, 2)) == 1   # guaranteed: ≤ n_bands-1 differing bits
+    assert cands.get((1, 3)) == 3
+    assert cands.get((2, 3)) == 2
+    assert (1, 4) not in cands      # far pair shares no band
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """A band value shared by a huge cluster is dropped before the
+    self-join; pairs co-bucketed by another band survive."""
+    rows = [(i, 0) for i in range(1, 21)]       # 20 identical signatures
+    sigs = spark.createDataFrame(rows, "key long, simhash long")
+    assert simhash_candidates(sigs, n_bands=4,
+                              max_bucket_size=10).count() == 0
+    assert simhash_candidates(sigs, n_bands=4,
+                              max_bucket_size=None).count() == 190
 
 
 def test_ann_recall_vs_brute_force(spark):
