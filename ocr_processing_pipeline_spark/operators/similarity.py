@@ -192,5 +192,42 @@ def label_centroids(df: DataFrame, vec_col: str, label_col: str,
                     .alias("centroid")))
 
 
+def near_dup_pairs_by_label(df: DataFrame, vec_col: str, label_col: str,
+                            key_col: str, min_cos: float = 0.3,
+                            max_label_size: int | None = 10000) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    Blocking avoids the n² cross join, but one skewed label would still go
+    O(label²): ``max_label_size`` drops labels above the cap BEFORE the
+    self-join (the hot-bucket guard of dedup.lsh_candidate_pairs, mirrored
+    here). Dropped labels are duplicate-class-sized clusters — handle them
+    with exact dedup/centroids, not all-pairs cosine.
+
+    Returns (label, key_a, key_b, cos) with key_a < key_b, cos ≥ min_cos.
+    """
+    e = df.select(F.col(label_col).alias("label"),
+                  F.col(key_col).alias("key"),
+                  F.col(vec_col).alias("vec"))
+    if max_label_size is not None:
+        ok = (e.groupBy("label")
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") <= max_label_size)
+              .select("label"))
+        e = e.join(F.broadcast(ok), "label", "left_semi")
+    a = e.select("label", F.col("key").alias("key_a"),
+                 F.col("vec").alias("va"))
+    b = e.select("label", F.col("key").alias("key_b"),
+                 F.col("vec").alias("vb"))
+    da = F.transform("va", lambda x: x.cast("double"))
+    db = F.transform("vb", lambda x: x.cast("double"))
+    cos = _dot(da, db) / (_norm(da) * _norm(db))
+    return (a.join(b, "label")
+            .filter(F.col("key_a") < F.col("key_b"))
+            .withColumn("cos", cos)
+            .filter(F.col("cos") >= min_cos)
+            .select("label", "key_a", "key_b", "cos"))
+
+
 __all__ = ["brute_force_topk", "ann_topk", "lsh_signature",
-           "ivf_index", "ivf_topk", "label_centroids", "cosine_to"]
+           "ivf_index", "ivf_topk", "label_centroids", "cosine_to",
+           "near_dup_pairs_by_label"]

@@ -970,6 +970,219 @@ def bm25_search(spark, sf_dir):
 
 
 @register(
+    "hybrid_search",
+    """
+    WITH combined AS (
+      SELECT d.doc_id AS key, d.text, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 3),
+    tok AS (
+      SELECT key,
+             len(regexp_split_to_array(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ')) AS doc_len,
+             unnest(regexp_split_to_array(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ')) AS term
+      FROM combined),
+    tokf AS (SELECT * FROM tok WHERE length(term) > 0),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM combined),
+    avglen AS (SELECT avg(l) AS avg_len FROM
+               (SELECT key, max(doc_len) AS l FROM tokf GROUP BY key)),
+    tf AS (SELECT key, term, count(*) AS tf, max(doc_len) AS doc_len
+           FROM tokf WHERE term IN ('spark', 'query', 'window')
+           GROUP BY key, term),
+    dfc AS (SELECT term, count(DISTINCT key) AS df FROM tf GROUP BY term),
+    bm AS (SELECT key,
+             ROUND(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * (1.2 + 1))
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / avg_len))
+             ), 4) AS bm25
+           FROM tf JOIN dfc USING (term), stats, avglen
+           GROUP BY key ORDER BY bm25 DESC, key ASC LIMIT 50),
+    vec AS (SELECT key,
+              ROUND(list_cosine_similarity(
+                  CAST(embedding AS DOUBLE[]), qv), 5) AS cosine
+            FROM combined, q ORDER BY cosine DESC, key ASC LIMIT 50),
+    bmn AS (SELECT key, CASE WHEN mx = mn THEN 1.0
+                             ELSE (bm25 - mn) / (mx - mn) END AS bm_norm
+            FROM (SELECT key, bm25, min(bm25) OVER () AS mn,
+                         max(bm25) OVER () AS mx FROM bm)),
+    vn AS (SELECT key, CASE WHEN mx = mn THEN 1.0
+                            ELSE (cosine - mn) / (mx - mn) END AS v_norm
+           FROM (SELECT key, cosine, min(cosine) OVER () AS mn,
+                        max(cosine) OVER () AS mx FROM vec))
+    SELECT coalesce(b.key, v.key) AS key,
+           ROUND(0.25 * coalesce(v_norm, 0.0)
+                 + 0.75 * coalesce(bm_norm, 0.0), 6) AS score
+    FROM bmn b FULL OUTER JOIN vn v ON b.key = v.key
+    ORDER BY score DESC, key ASC LIMIT 10
+    """,
+    doc="Weaviate-style hybrid search: relative-score fusion of the BM25 "
+        "and cosine legs at alpha=0.25 (Query/search.py:61)")
+def hybrid_search(spark, sf_dir):
+    from ..operators.search import hybrid_topk
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    combined = (d.join(e, d.doc_id == e.vec_id)
+                .select("doc_id", "text", "embedding"))
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 3).select("embedding").first()[0]]
+    return hybrid_topk(combined, "text", "doc_id", "embedding",
+                       list(_BM25_TERMS), qvec, alpha=0.25, k=10)
+
+
+@register(
+    "layered_search",
+    """
+    WITH tokarr AS (
+      SELECT doc_id AS key,
+             list_filter(regexp_split_to_array(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                 t -> length(t) > 0) AS toks
+      FROM documents),
+    base AS (SELECT key, len(toks) AS doc_len, toks FROM tokarr),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(CASE WHEN doc_len > 0
+                         THEN CAST(doc_len AS DOUBLE) END) AS avg_len
+              FROM base),
+    tf AS (SELECT key, term, count(*) AS tf, max(doc_len) AS doc_len
+           FROM (SELECT key, doc_len, unnest(toks) AS term FROM base)
+           WHERE term IN ('spark', 'query', 'window')
+           GROUP BY key, term),
+    dfc AS (SELECT term, count(DISTINCT key) AS df FROM tf GROUP BY term),
+    docsc AS (SELECT key,
+                ROUND(sum(
+                  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                  * (tf * (1.2 + 1))
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / avg_len))
+                ), 4) AS bm25
+              FROM tf JOIN dfc USING (term), stats GROUP BY key),
+    topdocs AS (SELECT key FROM docsc
+                ORDER BY bm25 DESC, key ASC LIMIT 20),
+    ctok AS (SELECT key, CAST((pos - 1) // 64 AS INT) AS chunk_no, tok
+             FROM (SELECT key, generate_subscripts(toks, 1) AS pos,
+                          unnest(toks) AS tok
+                   FROM base WHERE key IN (SELECT key FROM topdocs))),
+    clen AS (SELECT key, chunk_no, count(*) AS chunk_len
+             FROM ctok GROUP BY key, chunk_no),
+    ctf AS (SELECT key, chunk_no, tok AS term, count(*) AS tf
+            FROM ctok WHERE tok IN ('spark', 'query', 'window')
+            GROUP BY key, chunk_no, tok),
+    cstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_chunks,
+                      avg(CAST(chunk_len AS DOUBLE)) AS avg_len FROM clen),
+    cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY term)
+    SELECT key, chunk_no,
+           ROUND(sum(
+             ln((n_chunks - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * (1.2 + 1))
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * chunk_len / avg_len))
+           ), 4) AS score
+    FROM ctf JOIN clen USING (key, chunk_no) JOIN cdf USING (term), cstats
+    GROUP BY key, chunk_no
+    ORDER BY score DESC, key ASC, chunk_no ASC LIMIT 10
+    """,
+    doc="coarse-to-fine layered search: doc-level BM25 top-20 -> broadcast "
+        "semi-join -> 64-token chunk re-rank (Query/layered_search.py:74-104)")
+def layered_search(spark, sf_dir):
+    from ..operators.search import layered_topk
+    d = _t(spark, sf_dir, "documents")
+    return layered_topk(d, "text", "doc_id", list(_BM25_TERMS),
+                        doc_k=20, k=10, chunk_tokens=64)
+
+
+@register(
+    "reduce_person_names",
+    """
+    WITH names AS (
+      SELECT CAST(c_nationkey AS INT) AS grp,
+             'Cust ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 4, '0')
+                 AS name
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT CAST(c_nationkey AS INT),
+             lpad(CAST(c_custkey % 1000 AS VARCHAR), 4, '0')
+      FROM customer WHERE c_custkey % 3 = 1
+      UNION ALL
+      SELECT CAST(c_nationkey AS INT), 'zzz' || CAST(c_custkey AS VARCHAR)
+      FROM customer WHERE c_custkey % 3 = 2),
+    fulls AS (SELECT DISTINCT grp, name FROM names
+              WHERE contains(name, ' ')),
+    lasts AS (SELECT DISTINCT grp, lower(split_part(name, ' ', 2)) AS lt
+              FROM fulls),
+    singles AS (SELECT DISTINCT grp, name FROM names
+                WHERE NOT contains(name, ' ')),
+    kept AS (
+      SELECT grp, name FROM fulls
+      UNION
+      SELECT s.grp, s.name FROM singles s
+      WHERE NOT EXISTS (SELECT 1 FROM lasts l
+                        WHERE l.grp = s.grp AND l.lt = lower(s.name)))
+    SELECT grp, name FROM kept
+    """,
+    doc="A5 last-name reduce (group_and_reduce_entities, "
+        "apertus_ner_chunk.py:97-119) surfaced as a grouped query: the "
+        "Spark side runs the REAL extractor reduce via applyInPandas; the "
+        "input names are constructed so every fuzzy decision is exact "
+        "(fixed-width last tokens: ratio is 100 or <=75, never in the "
+        "85-99 band) and hence SQL-expressible; the fuzzy band itself is "
+        "pinned by tests/test_ner_oracle.py")
+def reduce_person_names(spark, sf_dir):
+    import pandas as pd
+    ensure_workers_can_import(spark)
+    c = _t(spark, sf_dir, "customer")
+    k4 = F.lpad((F.col("c_custkey") % 1000).cast("string"), 4, "0")
+    grp = F.col("c_nationkey").cast("int").alias("grp")
+    m = F.col("c_custkey") % 3
+    names = (c.filter(m == 0)
+             .select(grp, F.concat(F.lit("Cust "), k4).alias("name"))
+             .unionAll(c.filter(m == 1).select(grp, k4.alias("name")))
+             .unionAll(c.filter(m == 2).select(
+                 grp, F.concat(F.lit("zzz"),
+                               F.col("c_custkey").cast("string"))
+                 .alias("name"))))
+
+    def reduce_grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ocr_processing_pipeline_spark.extractor.ner import (
+            reduce_person_mentions)
+        kept = reduce_person_mentions(pdf["name"].tolist())
+        return pd.DataFrame({"grp": [int(pdf["grp"].iloc[0])] * len(kept),
+                             "name": kept})
+
+    return names.groupBy("grp").applyInPandas(
+        reduce_grp, schema="grp int, name string")
+
+
+@register(
+    "metrics_yearly_report",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_docs,
+           ROUND(sum(l_extendedprice), 2) AS total_energy,
+           ROUND(sum(l_quantity), 2) AS total_tokens,
+           ROUND(avg(l_quantity), 5) AS mean_tokens
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY yr
+    """,
+    doc="per-year metrics rollup: the aggregate report shape of "
+        "Monitoring/aggregator.py:5-88 (per-doc energy+token join -> "
+        "yearly aggregation) over the orders/lineitem twin")
+def metrics_yearly_report(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+            .agg(F.countDistinct("o_orderkey").cast("long")
+                 .alias("n_docs"),
+                 F.round(F.sum("l_extendedprice"), 2)
+                 .alias("total_energy"),
+                 F.round(F.sum("l_quantity"), 2).alias("total_tokens"),
+                 F.round(F.avg("l_quantity"), 5).alias("mean_tokens")))
+
+
+@register(
     "merge_upsert_orders",
     """
     WITH source AS (
@@ -1001,6 +1214,8 @@ def merge_upsert_orders(spark, sf_dir):
 @register(
     "embedding_near_dup_by_label",
     """
+    WITH ok AS (SELECT label FROM embeddings
+                GROUP BY label HAVING count(*) <= 10000)
     SELECT a.label,
            CAST(count(*) AS BIGINT) AS n_pairs,
            ROUND(max(list_cosine_similarity(
@@ -1008,32 +1223,20 @@ def merge_upsert_orders(spark, sf_dir):
                CAST(b.embedding AS DOUBLE[]))), 5) AS max_cosine
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+    WHERE a.label IN (SELECT label FROM ok)
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.3
     GROUP BY a.label
     """,
-    doc="embedding-cosine near-dup pairs, label-blocked (the dedup "
-        "family's vector member; blocking avoids the n² cross join)")
+    doc="embedding-cosine near-dup pairs, label-blocked with a hot-label "
+        "cap (one skewed label can't go O(label²); mirror of "
+        "lsh_candidate_pairs' max_bucket_size)")
 def embedding_near_dup_by_label(spark, sf_dir):
+    from ..operators.similarity import near_dup_pairs_by_label
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("label"), F.col("vec_id").alias("id_a"),
-                 F.col("embedding").alias("va"))
-    b = e.select(F.col("label"), F.col("vec_id").alias("id_b"),
-                 F.col("embedding").alias("vb"))
-    da = F.transform("va", lambda x: x.cast("double"))
-    db = F.transform("vb", lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    norm = (
-        F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0),
-                           lambda acc, v: acc + v))
-        * F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0),
-                             lambda acc, v: acc + v)))
-    return (a.join(b, "label")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos", dot / norm)
-            .filter(F.col("cos") >= 0.3)
-            .groupBy("label")
+    pairs = near_dup_pairs_by_label(e, "embedding", "label", "vec_id",
+                                    min_cos=0.3, max_label_size=10000)
+    return (pairs.groupBy("label")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
                  F.round(F.max("cos"), 5).alias("max_cosine")))
 

@@ -197,3 +197,36 @@ def test_asof_tolerance(spark):
     vals = {r.ts.isoformat(): r.v for r in out.collect()}
     assert vals["2024-01-01T00:10:00"] == 7.0
     assert vals["2024-01-01T05:00:00"] is None     # outside tolerance
+
+
+def test_near_dup_hot_label_cap(spark):
+    """One skewed label can't go O(label²): labels above max_label_size
+    are dropped before the self-join; small labels still pair."""
+    from ocr_processing_pipeline_spark.operators.similarity import (
+        near_dup_pairs_by_label)
+    rows = ([(i, [1.0, 0.0, 0.0, 0.0], 7) for i in range(30)]   # hot label
+            + [(100 + i, [0.0, 1.0, 0.0, float(i) / 10], 1)
+               for i in range(3)])
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    capped = near_dup_pairs_by_label(
+        e, "embedding", "label", "vec_id", min_cos=0.3, max_label_size=10)
+    got = {(r.label, r.key_a, r.key_b) for r in capped.collect()}
+    assert all(lbl == 1 for lbl, *_ in got)      # hot label 7 dropped
+    assert len(got) == 3                         # small label all-pairs
+    uncapped = near_dup_pairs_by_label(
+        e, "embedding", "label", "vec_id", min_cos=0.3,
+        max_label_size=None)
+    assert uncapped.filter("label = 7").count() == 30 * 29 // 2
+
+
+def test_media_features_csv_is_driver_hashable(spark, corpus_dir):
+    """The registry query must emit no array columns (the driver
+    canonicalizer sorts+hashes pandas values; lists are unhashable)."""
+    from ocr_processing_pipeline_spark.plans.queries import QUERIES
+    df = QUERIES["media_features"].fn(spark, "/root/testdata/sf0.001")
+    assert not any("array" in f.dataType.simpleString()
+                   for f in df.schema.fields)
+    pdf = df.limit(20).toPandas()
+    pdf.sort_values(by=sorted(pdf.columns))      # crashes on lists
+    assert pdf["features_csv"].str.count(",").eq(15).all()

@@ -106,3 +106,25 @@ def test_exact_dedup_single_shuffle(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     p = plan(exact_dedup(d, "text", "doc_id"), mode="simple")
     assert p.count("Exchange") == 1
+
+
+def test_layered_search_broadcast_semi_join(spark):
+    """Coarse-to-fine: the doc top-k restricts the corpus via a broadcast
+    LEFT SEMI join BEFORE any chunk explode."""
+    p = plan(QUERIES["layered_search"].fn(spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_bm25_no_corpus_wide_token_shuffle(spark):
+    """BM25 must not explode every token of every document: the only
+    exploded tokens are query-term hits (filtered inside the array), and
+    corpus stats come from one aggregation — no driver-side count()."""
+    from ocr_processing_pipeline_spark.operators.search import bm25_topk
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = bm25_topk(d, "text", "doc_id", ["spark", "query"], k=10)
+    p = plan(df)
+    # the hits array is filtered to query terms before the explode
+    gen = p.split("Generate explode")[1].split("\n")[0] if (
+        "Generate explode" in p) else p
+    assert "filter(" in gen.lower() or "hits" in gen
