@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 # --- failure codes (replaces the reference's error_log.txt / missing_files.txt
@@ -98,7 +99,12 @@ class _BlockParser(HTMLParser):
     """Single-pass DOM walk that flushes flat text blocks with offsets."""
 
     def __init__(self, source: str):
-        super().__init__(convert_charrefs=True)
+        # convert_charrefs=False: with conversion on, handle_data receives
+        # CONVERTED text ('&' for '&amp;') whose length is shorter than the
+        # source segment, so block span ends undershot the true end in the
+        # decoded source. Refs are handled explicitly below with their
+        # SOURCE lengths, keeping the span contract exact.
+        super().__init__(convert_charrefs=False)
         self._source = source
         # absolute offset of the start of each line, for getpos() conversion
         self._line_offsets = [0]
@@ -172,6 +178,35 @@ class _BlockParser(HTMLParser):
         self._cur.text_parts.append(data)
         if self._link_depth:
             self._cur.link_chars += len(data.strip())
+
+    def _handle_ref(self, prefix_len: int, name: str):
+        """Entity/char ref: append the converted char(s) to the block but
+        advance the span bounds by the ref's SOURCE length."""
+        if self._banned_depth:
+            return
+        off = self._offset()
+        src_len = prefix_len + len(name)
+        if self._source[off + src_len:off + src_len + 1] == ";":
+            src_len += 1
+        converted = _unescape(self._source[off:off + src_len])
+        if not converted:
+            return
+        if self._cur is None:
+            self._cur = _Block(tag="body", depth=self._depth,
+                               in_article=self._article_depth > 0)
+        if converted.strip():
+            if self._cur.start < 0:
+                self._cur.start = off
+            self._cur.end = off + src_len
+        self._cur.text_parts.append(converted)
+        if self._link_depth:
+            self._cur.link_chars += len(converted.strip())
+
+    def handle_entityref(self, name):      # '&amp;' / '&amp'
+        self._handle_ref(1, name)
+
+    def handle_charref(self, name):        # '&#65;' / '&#x41;'
+        self._handle_ref(2, name)
 
     def close(self):
         super().close()

@@ -112,3 +112,25 @@ def test_no_content():
 def test_deterministic():
     a, b = extract_page(HTML), extract_page(HTML)
     assert a.text == b.text and a.spans == b.spans
+
+
+def test_spans_cover_charrefs_exactly():
+    """Block span ends must land on the true end of the block in the
+    decoded source even when the block contains entity/char refs (the
+    converted text is shorter than its source form)."""
+    from ocr_processing_pipeline_spark.extractor.core import extract_page
+    body = ("<html><body><p>Smith &amp; Jones traded ten bonds "
+            "&#x26; five notes for Fr&#232;res</p>"
+            "<p>&amp; leading ref block with enough words to keep "
+            "alive here today</p></body></html>")
+    res = extract_page(body.encode())
+    src = body
+    assert res.failure_code == ""
+    assert "Smith & Jones" in res.text and "Frères" in res.text
+    s0, e0 = res.spans[0]
+    # end lands exactly past the last source char of the block
+    assert src[e0 - 1] == "s" and src[e0:e0 + 4] == "</p>"
+    assert src[s0] == "S"
+    s1, e1 = res.spans[1]
+    assert src[s1] == "&"          # span starts ON the leading ref
+    assert src[e1:e1 + 4] == "</p>"

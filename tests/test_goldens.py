@@ -3,7 +3,7 @@
 The byte-identity parity suite compares Spark against the oracle computed
 on the fly — if extractor semantics drift accidentally, both sides drift
 together and parity still passes. This golden file
-(tests/goldens/corpus40_v2.json) was committed at a known-good state; any
+(tests/goldens/corpus40_v3.json) was committed at a known-good state; any
 change to extraction / chunking / NER semantics fails here and must be a
 CONSCIOUS decision (regenerate via the snippet in the golden file's git
 history, bump the filename version, and say why in the commit message).
@@ -20,7 +20,7 @@ from ocr_processing_pipeline_spark.extractor.ner import (
 from ocr_processing_pipeline_spark.sources.corpus import make_pages
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
-                      "corpus40_v2.json")
+                      "corpus40_v3.json")
 
 
 def test_semantics_match_committed_goldens():
