@@ -28,8 +28,7 @@ from __future__ import annotations
 from datetime import date, timedelta
 
 from ..functions.fuzzy import (FUZZ_SINGLE_THRESHOLD, FUZZ_THRESHOLD,
-                               full_process, ratio, ratio_presorted,
-                               sort_tokens)
+                               full_process, ratio_presorted, sort_tokens)
 
 DATE_WINDOW_DAYS = 7300  # apertus_ner_chunk.py:186,195
 
@@ -160,11 +159,18 @@ def reduce_person_mentions(names: list[str]) -> list[str]:
     uniq = sorted(set(names))
     full = [n for n in uniq if len(n.split()) > 1]
     singles = [n for n in uniq if len(n.split()) <= 1]
+    # decision-equivalent fast paths (ratio(s, last) >= thr is what we
+    # need, not the score): exact normalized match -> ratio 100; the
+    # ratio_presorted length upper bound prunes hopeless pairs without
+    # running SequenceMatcher. For single tokens full_process(x) is
+    # exactly what ratio() compares, so decisions are identical.
+    lasts = {full_process(f.split()[-1]) for f in full}
+    thr = FUZZ_SINGLE_THRESHOLD
     kept = list(full)
     for s in singles:
-        subsumed = any(
-            ratio(s, f.split()[-1]) >= FUZZ_SINGLE_THRESHOLD for f in full
-        )
+        sn = full_process(s)
+        subsumed = sn in lasts or any(
+            ratio_presorted(sn, ln, min_score=thr) >= thr for ln in lasts)
         if not subsumed:
             kept.append(s)
     return sorted(set(kept))

@@ -1097,16 +1097,20 @@ def layered_search(spark, sf_dir):
     "reduce_person_names",
     """
     WITH names AS (
-      SELECT CAST(c_nationkey AS INT) AS grp,
+      -- grp ~ a document id: mention groups are document-sized (dozens),
+      -- matching the reference's per-doc reduce; the fuzzy work per group
+      -- is quadratic, so group size is the scale knob
+      SELECT CAST(c_custkey % 500 AS INT) AS grp,
              'Cust ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 4, '0')
                  AS name
       FROM customer WHERE c_custkey % 3 = 0
       UNION ALL
-      SELECT CAST(c_nationkey AS INT),
+      SELECT CAST(c_custkey % 500 AS INT),
              lpad(CAST(c_custkey % 1000 AS VARCHAR), 4, '0')
       FROM customer WHERE c_custkey % 3 = 1
       UNION ALL
-      SELECT CAST(c_nationkey AS INT), 'zzz' || CAST(c_custkey AS VARCHAR)
+      SELECT CAST(c_custkey % 500 AS INT),
+             'zzz' || CAST(c_custkey AS VARCHAR)
       FROM customer WHERE c_custkey % 3 = 2),
     fulls AS (SELECT DISTINCT grp, name FROM names
               WHERE contains(name, ' ')),
@@ -1134,7 +1138,7 @@ def reduce_person_names(spark, sf_dir):
     ensure_workers_can_import(spark)
     c = _t(spark, sf_dir, "customer")
     k4 = F.lpad((F.col("c_custkey") % 1000).cast("string"), 4, "0")
-    grp = F.col("c_nationkey").cast("int").alias("grp")
+    grp = (F.col("c_custkey") % 500).cast("int").alias("grp")
     m = F.col("c_custkey") % 3
     names = (c.filter(m == 0)
              .select(grp, F.concat(F.lit("Cust "), k4).alias("name"))
