@@ -1352,6 +1352,48 @@ def pipeline_edges(spark, sf_dir):
     return link_entities(chunk_docs(extract_docs(pages)), gaz)
 
 
+def extracted_tables_dir(spark, sf_dir: str) -> str:
+    """Materialized docs/chunks parquet for the sf-tier corpus.
+
+    Search queries read the MATERIALIZED tables (the real architecture:
+    the extraction job writes docs/chunks once, search serves many queries
+    over them) instead of re-running extraction per query branch."""
+    from ..pipeline.chunk import chunk_docs
+    from ..pipeline.extract import extract_docs
+    corpus = pages_corpus_dir(sf_dir)
+    out = corpus + "_extracted"
+    docs_p = os.path.join(out, "docs.parquet")
+    chunks_p = os.path.join(out, "chunks.parquet")
+    if not os.path.exists(os.path.join(chunks_p, "_SUCCESS")):
+        ensure_workers_can_import(spark)
+        pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+        extract_docs(pages).write.mode("overwrite").parquet(docs_p)
+        chunk_docs(spark.read.parquet(docs_p)) \
+            .write.mode("overwrite").parquet(chunks_p)
+    return out
+
+
+@register("pipeline_layered_search", None,
+          doc="layered search over the REAL pipeline tables: doc-level "
+              "BM25 top-20 on the materialized docs table -> broadcast "
+              "semi-join to the chunks table -> chunk-level BM25 re-rank "
+              "(the end-to-end read path of Query/layered_search.py:"
+              "74-104). Rows-only: the corpus tables are not DuckDB "
+              "views; the ranking math itself is oracle-gated by "
+              "layered_search.")
+def pipeline_layered_search(spark, sf_dir):
+    from ..operators.search import bm25_scores, bm25_topk
+    tables = extracted_tables_dir(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(tables, "docs.parquet"))
+    chunks = spark.read.parquet(os.path.join(tables, "chunks.parquet"))
+    terms = ["bundesrat", "protokoll", "bern"]
+    top_docs = (bm25_topk(docs, "text", "doc_id", terms, k=20)
+                .select(F.col("key").alias("doc_id")))
+    restricted = chunks.join(F.broadcast(top_docs), "doc_id", "left_semi")
+    return (bm25_scores(restricted, "content", "chunk_id", terms)
+            .orderBy(F.desc("bm25"), F.asc("key")).limit(10))
+
+
 @register("media_features", None,
           doc="multimodal plumbing: magic sniff + byte-histogram features")
 def media_features(spark, sf_dir):
