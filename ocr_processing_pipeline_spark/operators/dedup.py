@@ -79,10 +79,21 @@ def shingles(df: DataFrame, text_col: str, key_col: str,
 
 def minhash_signatures(sh: DataFrame,
                        num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
-    """(key, h0..h{k-1}): minhash per seeded md5 family (portable)."""
-    aggs = [F.min(F.md5(F.concat_ws(":", F.lit(str(i)), "shingle")))
+    """(key, h0..h{k-1}): minhash over a seeded md5 family (portable).
+
+    Each md5 digest is split into four independent 32-bit (8-hex) lanes,
+    so k hashes cost ceil(k/4) md5 evaluations per shingle instead of k —
+    the digests are materialized in an explicit projection so they are
+    computed exactly once. Fixed-width lowercase hex makes string min ==
+    numeric min."""
+    n_md5 = (num_hashes + 3) // 4
+    proj = sh.select(
+        "key",
+        *[F.md5(F.concat_ws(":", F.lit(str(s)), "shingle")).alias(f"d{s}")
+          for s in range(n_md5)])
+    aggs = [F.min(F.substring(F.col(f"d{i // 4}"), (i % 4) * 8 + 1, 8))
             .alias(f"h{i}") for i in range(num_hashes)]
-    return sh.groupBy("key").agg(*aggs)
+    return proj.groupBy("key").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame,
@@ -192,16 +203,13 @@ def simhash(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     tok_hash = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
         .cast("long"))
-    # bit b of h via arithmetic ((h div 2^b) mod 2): shiftright() needs a
-    # literal numBits, but b is a per-element Column here; 32-bit hashes
-    # are exact in doubles so pow(2, b) is safe.
-    bit_of = (lambda h, b:
-              (h.cast("double") / F.pow(F.lit(2.0), b)).cast("long") % 2)
+    # bit b of h via getbit (JVM bit op; accepts a Column position —
+    # shiftright() would need a literal numBits, but b is per-element)
     bit_votes = F.transform(
         F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
         lambda b: F.aggregate(
             tok_hash, F.lit(0),
-            lambda acc, h: acc + F.when(bit_of(h, b) == 1,
+            lambda acc, h: acc + F.when(F.getbit(h, b) == 1,
                                         F.lit(1)).otherwise(F.lit(-1))))
     sig = F.aggregate(
         F.zip_with(bit_votes,

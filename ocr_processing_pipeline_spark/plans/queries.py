@@ -206,13 +206,14 @@ _SHINGLES_SQL = """
     "minhash_signatures",
     _SHINGLES_SQL + """
     SELECT doc_id,
-           min(md5('0:' || shingle)) AS h0,
-           min(md5('1:' || shingle)) AS h1,
-           min(md5('2:' || shingle)) AS h2,
-           min(md5('3:' || shingle)) AS h3
+           min(substring(md5('0:' || shingle), 1, 8)) AS h0,
+           min(substring(md5('0:' || shingle), 9, 8)) AS h1,
+           min(substring(md5('0:' || shingle), 17, 8)) AS h2,
+           min(substring(md5('0:' || shingle), 25, 8)) AS h3
     FROM sh GROUP BY doc_id
     """,
-    doc="MinHash signatures (portable md5 min-hash family, k=4)")
+    doc="MinHash signatures (portable md5 family; four 32-bit lanes per "
+        "digest, so k=4 costs ONE md5 per shingle)")
 def minhash_signatures_q(spark, sf_dir):
     from ..operators.dedup import minhash_signatures, shingles
     d = _t(spark, sf_dir, "documents")
