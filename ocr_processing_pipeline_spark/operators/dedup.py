@@ -65,7 +65,11 @@ def shingles(df: DataFrame, text_col: str, key_col: str,
     """(key, shingle) pairs: distinct word n-grams of normalized text.
 
     Built-ins only: split → transform over a sequence of start offsets →
-    slice+concat — stays inside whole-stage codegen.
+    slice+concat — stays inside whole-stage codegen. Uniqueness per key
+    comes from array_distinct BEFORE the explode (narrow, in-row); there
+    is deliberately NO row-level .distinct() — that would be a full
+    (key, shingle)-sized shuffle. Precondition: one row per key (run
+    exact_dedup first if the corpus can carry duplicate keys).
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -73,8 +77,7 @@ def shingles(df: DataFrame, text_col: str, key_col: str,
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return (df.select(F.col(key_col).alias("key"),
                       F.explode(F.array_distinct(grams)).alias("shingle"))
-            .filter(F.length("shingle") > 0)
-            .distinct())
+            .filter(F.length("shingle") > 0))
 
 
 def minhash_signatures(sh: DataFrame,
