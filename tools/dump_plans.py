@@ -47,6 +47,17 @@ COMMENT = {
     "embedding_topk": (
         "TakeOrderedAndProject: per-partition top-k heaps merged on the "
         "driver — never a global sort of 10^12 rows."),
+    "bm25_search": (
+        "One corpus pass: doc_len from size() of the token array (no "
+        "corpus-wide token explode), query-term hits filtered INSIDE the "
+        "array before the explode, corpus stats one aggregation broadcast "
+        "back — zero driver-side actions; the only exploded rows are "
+        "query-term hits."),
+    "layered_search": (
+        "Coarse-to-fine over one table: doc-level BM25 top-k "
+        "(TakeOrderedAndProject), broadcast LeftSemi restricts the corpus "
+        "BEFORE the per-token chunk explode — the expensive work only "
+        "ever touches doc_k documents."),
 }
 
 
@@ -81,7 +92,7 @@ def main() -> None:
 
     for name in ("filtered_scan", "agg_pricing_summary",
                  "broadcast_join_parts", "semi_join_layered",
-                 "embedding_topk"):
+                 "embedding_topk", "bm25_search", "layered_search"):
         df = QUERIES[name].fn(spark, SF_DIR)
         out.append(f"## {name}\n")
         out.append(COMMENT[name] + "\n")
