@@ -69,6 +69,35 @@ def doc_token_counts(spark, sf_dir):
 
 
 @register(
+    "doc_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS INT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '\p{L}+')) AS INT)
+               AS n_word_runs,
+           CAST(len(regexp_extract_all(text, '\p{N}+')) AS INT)
+               AS n_num_runs
+    FROM documents
+    """,
+    doc="A3/A4 BPE-style pre-tokenizer counting (GPT-2-style classes: "
+        "letter runs | digit runs | single non-space symbol), the "
+        "second half of the token-counting family next to the "
+        "whitespace count")
+def doc_bpe_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"))
+        .cast("int").alias("n_bpe_tokens"),
+        F.regexp_count(t, F.lit(r"\p{L}+")).cast("int")
+        .alias("n_word_runs"),
+        F.regexp_count(t, F.lit(r"\p{N}+")).cast("int")
+        .alias("n_num_runs"))
+
+
+@register(
     "doc_quality",
     """
     SELECT doc_id,

@@ -76,5 +76,20 @@ def sessionize_events(events: DataFrame,
                  F.max("ts").alias("last_ts")))
 
 
+def dedup_events_within_watermark(events: DataFrame,
+                                  keys: list[str] | None = None,
+                                  watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup (the F10 first-seen-wins family on a stream):
+    dropDuplicatesWithinWatermark keeps state only for the watermark
+    horizon, so the dedup ledger is bounded — the unbounded-state
+    dropDuplicates would OOM on an endless crawl feed."""
+    keys = keys or ["event_id"]
+    return (events
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 __all__ = ["stream_extract_pages", "windowed_event_counts",
-           "sessionize_events", "PAGES_DDL"]
+           "sessionize_events", "dedup_events_within_watermark",
+           "PAGES_DDL"]

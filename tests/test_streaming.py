@@ -95,3 +95,28 @@ def test_sessionize_events_streaming(spark, tmp_path):
     # sessions are per-user, non-overlapping, gap-bounded
     row = sessions.select("user_id", "n_events").first()
     assert row["n_events"] >= 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Planted duplicate event_ids across two files: the streaming dedup
+    keeps exactly one row per key (bounded state via the watermark)."""
+    from ocr_processing_pipeline_spark.streaming.availablenow import (
+        dedup_events_within_watermark)
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200)
+    d = str(tmp_path / "dup_stream")
+    os.makedirs(d, exist_ok=True)
+    batch.write.mode("overwrite").parquet(os.path.join(d, "a.parquet"))
+    # the SAME 200 events again: every key is a duplicate
+    batch.write.mode("overwrite").parquet(os.path.join(d, "b.parquet"))
+
+    stream = (spark.readStream.schema(batch.schema)
+              .parquet(d + "/*/"))
+    deduped = dedup_events_within_watermark(stream, ["event_id"],
+                                            watermark="365 days")
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id FROM dedup_out")
+    n_keys = batch.select("event_id").distinct().count()
+    assert got.count() == n_keys
+    assert got.distinct().count() == n_keys
