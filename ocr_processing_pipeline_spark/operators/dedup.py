@@ -155,6 +155,14 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > max_doc_freq).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if candidates is not None:
+        # restrict the inverted index to candidate KEYS before the
+        # self-join (not just the pair set after): the whole point of LSH
+        # is that the verify stage never touches non-candidate documents
+        cand_keys = (candidates.select(F.col("key_a").alias("key"))
+                     .union(candidates.select(F.col("key_b").alias("key")))
+                     .distinct())
+        sh = sh.join(cand_keys, "key", "left_semi")
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -281,6 +281,15 @@ def near_dup_jaccard(spark, sf_dir):
                       F.round("jaccard", 5).alias("jaccard"))
 
 
+# NOTE: the 100 TB path of the Jaccard family — stop-shingle pruning
+# (jaccard_pairs max_doc_freq) and LSH candidate restriction — is
+# deliberately NOT a registry query: the synthetic corpus has no
+# boilerplate (max shingle df at sf0.1 is 25), so the prune removes
+# nothing and only adds an aggregation pass. The knob is exercised by
+# tests/test_search.py::test_jaccard_max_doc_freq_prunes_hot_shingles
+# with planted boilerplate.
+
+
 @register(
     "simhash_signatures",
     """
