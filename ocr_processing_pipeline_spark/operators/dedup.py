@@ -150,7 +150,15 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
     shared by millions of pages contributes O(df²) join rows but almost
     no Jaccard evidence. NOTE: changes scores slightly (shingle sets
     shrink) — leave None when exact parity matters.
+
+    Shingle strings are replaced by xxhash64 ints before the join: only
+    equality matters downstream, and the shuffle/join keys drop from
+    ~20-byte strings to 8 bytes (collision odds at 10^9 distinct
+    shingles ≈ 3e-2 per corpus... per PAIR it is 2^-64; the expected
+    effect on any count is negligible and the DuckDB oracle run stays
+    green on the test corpora).
     """
+    sh = sh.select("key", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > max_doc_freq).select("shingle"))
