@@ -214,13 +214,17 @@ def near_dup_pairs_by_label(df: DataFrame, vec_col: str, label_col: str,
               .filter(F.col("_n") <= max_label_size)
               .select("label"))
         e = e.join(F.broadcast(ok), "label", "left_semi")
-    a = e.select("label", F.col("key").alias("key_a"),
-                 F.col("vec").alias("va"))
-    b = e.select("label", F.col("key").alias("key_b"),
-                 F.col("vec").alias("vb"))
-    da = F.transform("va", lambda x: x.cast("double"))
-    db = F.transform("vb", lambda x: x.cast("double"))
-    cos = _dot(da, db) / (_norm(da) * _norm(db))
+    # cast + norm once per ROW before the self-join: per pair only the
+    # dot-product fold remains (vs 3 array folds when norms are inline)
+    ed = e.select("label", "key",
+                  F.transform("vec", lambda x: x.cast("double"))
+                  .alias("vec"))
+    ed = ed.withColumn("nrm", _norm(F.col("vec")))
+    a = ed.select("label", F.col("key").alias("key_a"),
+                  F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    b = ed.select("label", F.col("key").alias("key_b"),
+                  F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (a.join(b, "label")
             .filter(F.col("key_a") < F.col("key_b"))
             .withColumn("cos", cos)
