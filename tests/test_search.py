@@ -66,3 +66,34 @@ def test_jaccard_max_doc_freq_prunes_hot_shingles(spark):
     # with cap: the hot shingle is dropped, no pair shares anything
     assert jaccard_pairs(sh, min_jaccard=0.01,
                          max_doc_freq=5).count() == 0
+
+
+def test_hybrid_scores_bounded_and_partition_invariant(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    combined = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "text", "embedding")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 5).first()["embedding"]]
+    a = hybrid_topk(combined, "text", "doc_id", "embedding",
+                    ["spark", "query"], qvec, k=10).collect()
+    b = hybrid_topk(combined.repartition(7), "text", "doc_id", "embedding",
+                    ["spark", "query"], qvec, k=10).collect()
+    assert [(r.key, r.score) for r in a] == [(r.key, r.score) for r in b]
+    # relative-score fusion: alpha*v + (1-alpha)*bm with legs in [0,1]
+    assert all(0.0 <= r.score <= 1.0 for r in a)
+
+
+def test_layered_chunks_come_from_top_docs(spark):
+    from ocr_processing_pipeline_spark.operators.search import (
+        bm25_topk, layered_topk)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    terms = ["spark", "query", "window"]
+    top_docs = {r.key for r in
+                bm25_topk(d, "text", "doc_id", terms, k=20).collect()}
+    chunks = layered_topk(d, "text", "doc_id", terms,
+                          doc_k=20, k=10).collect()
+    assert len(chunks) == 10
+    assert {r.key for r in chunks} <= top_docs
+    assert all(chunks[i].score >= chunks[i + 1].score
+               for i in range(len(chunks) - 1))
