@@ -30,6 +30,11 @@ inline = st.one_of(
     paragraph,
     paragraph.map(lambda p: f"<b>{p}</b>"),
     paragraph.map(lambda p: f'<a href="/x">{p}</a>'),
+    # character references: converted text is shorter than its source
+    # form — exercises the span-vs-source accounting
+    paragraph.map(lambda p: p.replace(" ", " &amp; ", 1)),
+    paragraph.map(lambda p: "Fr&#232;res " + p),
+    paragraph.map(lambda p: p + " K&#xF6;nig"),
 )
 block = st.one_of(
     inline.map(lambda p: f"<p>{p}</p>"),
@@ -48,16 +53,20 @@ html_doc = st.lists(block, min_size=1, max_size=12).map(
 @settings(max_examples=60, deadline=None)
 @given(html_doc)
 def test_extractor_invariants(html):
+    from html import unescape
     res = extract_page(html)
     src = html.decode("utf-8")
-    # every extracted word occurs in the source
+    # every extracted word occurs in the (ref-decoded) source
+    decoded = unescape(src)
     for w in set(res.text.split()):
-        assert w in src, (w, src[:200])
-    # spans monotone non-overlapping in-bounds
+        assert w in decoded, (w, decoded[:200])
+    # spans monotone non-overlapping in-bounds, ends on non-whitespace
     prev_end = -1
     for start, end in res.spans:
         assert 0 <= start < end <= len(src)
         assert start > prev_end
+        assert not src[start].isspace()
+        assert not src[end - 1].isspace()
         prev_end = end
     # determinism
     res2 = extract_page(html)
