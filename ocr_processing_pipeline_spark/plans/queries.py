@@ -281,6 +281,63 @@ def near_dup_jaccard(spark, sf_dir):
                       F.round("jaccard", 5).alias("jaccard"))
 
 
+@register(
+    "lsh_near_dup_pairs",
+    _SHINGLES_SQL + """
+    , sig AS (
+      SELECT doc_id,
+             min(substring(md5('0:' || shingle), 1, 8)) AS h0,
+             min(substring(md5('0:' || shingle), 9, 8)) AS h1,
+             min(substring(md5('0:' || shingle), 17, 8)) AS h2,
+             min(substring(md5('0:' || shingle), 25, 8)) AS h3
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, '0|' || h0 || '|' || h1 AS band FROM sig
+      UNION ALL
+      SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig),
+    b2 AS (SELECT * FROM (
+             SELECT doc_id, band,
+                    count(*) OVER (PARTITION BY band) AS bn
+             FROM banded) WHERE bn <= 10000),
+    cands AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM b2 a JOIN b2 b USING (band)
+              WHERE a.doc_id < b.doc_id),
+    ckeys AS (SELECT key_a AS doc_id FROM cands
+              UNION SELECT key_b FROM cands),
+    shr AS (SELECT * FROM sh
+            WHERE doc_id IN (SELECT doc_id FROM ckeys)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+              FROM shr GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM shr a JOIN shr b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sharedc AS (SELECT s.* FROM shared s
+                JOIN cands USING (key_a, key_b))
+    SELECT key_a, key_b, shared,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 5)
+               AS jaccard
+    FROM sharedc
+    JOIN sizes sa ON sa.doc_id = key_a
+    JOIN sizes sb ON sb.doc_id = key_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    """,
+    doc="the FULL MinHash->LSH->verify near-dup chain, oracle-gated end "
+        "to end: k=4 signatures, 2 bands of 2 (hot-bucket cap 10000), "
+        "candidate pairs, verified Jaccard >= 0.5 restricted to "
+        "candidates (Broder'97 / MMDS ch.3 — the 100 TB dedup path)")
+def lsh_near_dup_pairs(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_dedup
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_dedup(d, "text", "doc_id", n=3, min_jaccard=0.5,
+                            num_hashes=4, band_size=2)
+    return out.select("key_a", "key_b", "shared", "n_a", "n_b",
+                      F.round("jaccard", 5).alias("jaccard"))
+
+
 # NOTE: the 100 TB path of the Jaccard family — stop-shingle pruning
 # (jaccard_pairs max_doc_freq) and LSH candidate restriction — is
 # deliberately NOT a registry query: the synthetic corpus has no
