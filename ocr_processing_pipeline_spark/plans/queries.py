@@ -282,6 +282,32 @@ def near_dup_jaccard(spark, sf_dir):
 
 
 @register(
+    "salted_source_stats",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """,
+    doc="skew-proof two-phase salted aggregation (operators/skew."
+        "salted_groupby): partial agg on (key, salt), final on key - "
+        "must be value-identical to the plain GROUP BY the oracle runs")
+def salted_source_stats(spark, sf_dir):
+    from ..operators.skew import salted_groupby
+    d = _t(spark, sf_dir, "documents")
+    out = salted_groupby(
+        d, ["source"],
+        {"n": ("count", None),
+         "total_chars": ("sum", "n_chars"),
+         "max_chars": ("max", "n_chars")},
+        salt_source_col="doc_id")
+    return out.select("source", "n",
+                      F.col("total_chars").cast("long").alias("total_chars"),
+                      F.col("max_chars").cast("long").alias("max_chars"))
+
+
+@register(
     "lsh_near_dup_pairs",
     _SHINGLES_SQL + """
     , sig AS (
