@@ -284,7 +284,43 @@ def simhash_candidates(sig: DataFrame, n_bands: int = 4,
                 F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(key, component) over an undirected pair graph — dedup clusters.
+
+    Near-dup pairs are only edges; production dedup needs the transitive
+    closure (A~B, B~C ⇒ {A,B,C} one cluster, keep one canonical doc).
+    Min-label propagation: every node repeatedly takes the min id among
+    itself and its neighbors; converges in O(diameter) rounds (duplicate
+    clusters are near-cliques → 2-3 rounds). Each round is one self-join
+    + one aggregate; the loop stops when a round changes nothing (the
+    convergence check is the only driver-side action, O(1) per round).
+    ``component`` = min key of the cluster = the canonical id.
+    """
+    e = pairs.select(F.col("key_a").alias("src"),
+                     F.col("key_b").alias("dst"))
+    edges = (e.union(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("key")).distinct()
+              .withColumn("comp", F.col("key")))
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels.withColumnRenamed("key", "dst"), "dst")
+                   .groupBy(F.col("src").alias("key"))
+                   .agg(F.min("comp").alias("nbr_comp")))
+        new_labels = (labels.join(nbr_min, "key", "left")
+                      .select("key",
+                              F.least("comp", "nbr_comp").alias("comp")))
+        new_labels = new_labels.localCheckpoint()  # cut iterative lineage
+        changed = (new_labels.join(labels.withColumnRenamed(
+            "comp", "old_comp"), "key")
+            .filter(F.col("comp") != F.col("old_comp")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("key", F.col("comp").alias("component"))
+
+
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles",
            "minhash_signatures", "lsh_candidate_pairs", "jaccard_pairs",
            "minhash_lsh_dedup", "simhash", "simhash_candidates",
-           "fingerprint", "normalize_text"]
+           "connected_components", "fingerprint", "normalize_text"]

@@ -282,6 +282,48 @@ def near_dup_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_components",
+    _SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """
+    , sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+                FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT key_a, key_b FROM shared
+      JOIN sizes sa ON sa.doc_id = key_a
+      JOIN sizes sb ON sb.doc_id = key_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+    edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
+              UNION ALL SELECT key_b, key_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node)
+    SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
+    FROM walk GROUP BY node
+    """,
+    doc="dedup cluster canonicalization: connected components over "
+        "verified near-dup pairs (A~B, B~C => one cluster, canonical = "
+        "min doc_id). Spark: min-label propagation, one self-join + "
+        "aggregate per round, O(cluster diameter) rounds; oracle: "
+        "recursive-CTE transitive closure")
+def dedup_components(spark, sf_dir):
+    from ..operators.dedup import (connected_components, jaccard_pairs,
+                                   shingles)
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingles(d, "text", "doc_id", n=3),
+                          min_jaccard=0.5)
+    return (connected_components(pairs)
+            .select(F.col("key").alias("doc_id"),
+                    F.col("component").cast("long").alias("canonical_id")))
+
+
+@register(
     "salted_source_stats",
     """
     SELECT source,

@@ -230,3 +230,15 @@ def test_media_features_csv_is_driver_hashable(spark, corpus_dir):
     pdf = df.limit(20).toPandas()
     pdf.sort_values(by=sorted(pdf.columns))      # crashes on lists
     assert pdf["features_csv"].str.count(",").eq(15).all()
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C must land in ONE cluster even though (A,C) is not a
+    pair; disjoint cluster keeps its own canonical."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        connected_components)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21)], "key_a long, key_b long")
+    comp = {r.key: r.component
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
