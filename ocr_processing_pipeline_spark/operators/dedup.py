@@ -300,6 +300,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                      F.col("key_b").alias("dst"))
     edges = (e.union(e.select(F.col("dst").alias("src"),
                               F.col("src").alias("dst"))))
+    # materialize the edge list ONCE: pairs usually derive from an
+    # expensive verify stage (inverted-index join) that must not be
+    # recomputed inside every propagation round
+    edges = edges.localCheckpoint()
     labels = (edges.select(F.col("src").alias("key")).distinct()
               .withColumn("comp", F.col("key")))
     for _ in range(max_iter):
