@@ -284,18 +284,41 @@ def near_dup_jaccard(spark, sf_dir):
 @register(
     "dedup_components",
     _SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """
-    , sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
-                FROM sh GROUP BY doc_id),
+    , sig AS (
+      SELECT doc_id,
+             min(substring(md5('0:' || shingle), 1, 8)) AS h0,
+             min(substring(md5('0:' || shingle), 9, 8)) AS h1,
+             min(substring(md5('0:' || shingle), 17, 8)) AS h2,
+             min(substring(md5('0:' || shingle), 25, 8)) AS h3
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, '0|' || h0 || '|' || h1 AS band FROM sig
+      UNION ALL
+      SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig),
+    b2 AS (SELECT * FROM (
+             SELECT doc_id, band,
+                    count(*) OVER (PARTITION BY band) AS bn
+             FROM banded) WHERE bn <= 10000),
+    cands AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM b2 a JOIN b2 b USING (band)
+              WHERE a.doc_id < b.doc_id),
+    ckeys AS (SELECT key_a AS doc_id FROM cands
+              UNION SELECT key_b FROM cands),
+    shr AS (SELECT * FROM sh
+            WHERE doc_id IN (SELECT doc_id FROM ckeys)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+              FROM shr GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS key_a, b.doc_id AS key_b,
              CAST(count(*) AS BIGINT) AS shared
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shr a JOIN shr b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (
-      SELECT key_a, key_b FROM shared
-      JOIN sizes sa ON sa.doc_id = key_a
-      JOIN sizes sb ON sb.doc_id = key_b
+      SELECT s.key_a, s.key_b FROM shared s
+      JOIN cands USING (key_a, key_b)
+      JOIN sizes sa ON sa.doc_id = s.key_a
+      JOIN sizes sb ON sb.doc_id = s.key_b
       WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
     edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
               UNION ALL SELECT key_b, key_a FROM pairs),
@@ -307,17 +330,17 @@ def near_dup_jaccard(spark, sf_dir):
     SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
     FROM walk GROUP BY node
     """,
-    doc="dedup cluster canonicalization: connected components over "
-        "verified near-dup pairs (A~B, B~C => one cluster, canonical = "
-        "min doc_id). Spark: min-label propagation, one self-join + "
-        "aggregate per round, O(cluster diameter) rounds; oracle: "
-        "recursive-CTE transitive closure")
+    doc="dedup cluster canonicalization over the PRODUCTION pair path "
+        "(MinHash->LSH->verified jaccard >= 0.5): connected components "
+        "(A~B, B~C => one cluster, canonical = min doc_id). Spark: "
+        "min-label propagation, one self-join + aggregate per round, "
+        "O(cluster diameter) rounds; oracle: recursive-CTE transitive "
+        "closure over the same LSH-derived pairs")
 def dedup_components(spark, sf_dir):
-    from ..operators.dedup import (connected_components, jaccard_pairs,
-                                   shingles)
+    from ..operators.dedup import connected_components, minhash_lsh_dedup
     d = _t(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(shingles(d, "text", "doc_id", n=3),
-                          min_jaccard=0.5)
+    pairs = minhash_lsh_dedup(d, "text", "doc_id", n=3, min_jaccard=0.5,
+                              num_hashes=4, band_size=2)
     return (connected_components(pairs)
             .select(F.col("key").alias("doc_id"),
                     F.col("component").cast("long").alias("canonical_id")))
