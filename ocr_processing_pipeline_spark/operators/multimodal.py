@@ -65,14 +65,22 @@ def extract_features(df: DataFrame, bin_col: str, key_col: str) -> DataFrame:
     L1-normalized). Vectorized inside the Arrow batch via numpy."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for payload in pdf[bin_col]:
-                if payload is None or len(payload) == 0:
-                    feats.append([0.0] * FEATURE_BINS)
-                    continue
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=FEATURE_BINS)
-                feats.append((hist / max(len(arr), 1)).tolist())
+            # one vectorized pass per Arrow batch: concatenate payloads,
+            # histogram all nibbles at once via a (row*BINS + nibble)
+            # flattened bincount — no per-payload Python loop
+            payloads = [bytes(p) if p is not None else b""
+                        for p in pdf[bin_col]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=len(payloads))
+            hist = np.zeros((len(payloads), FEATURE_BINS), dtype=np.int64)
+            if lens.sum() > 0:
+                buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                row_of = np.repeat(np.arange(len(payloads)), lens)
+                flat = row_of * FEATURE_BINS + (buf >> 4)
+                hist = np.bincount(
+                    flat, minlength=len(payloads) * FEATURE_BINS
+                ).reshape(len(payloads), FEATURE_BINS)
+            feats = (hist / np.maximum(lens, 1)[:, None]).tolist()
             yield pd.DataFrame({
                 "key": pdf[key_col].astype(str),
                 "media_kind": pdf.get(
