@@ -162,3 +162,43 @@ def test_chunker_invariants(text):
         assert total <= len(tokenize(text))
         assert total >= len(tokenize(text)) * 0.95
     assert chunk_document("d", text) == chunks   # determinism
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda p: p[0] != p[1]),
+    min_size=1, max_size=25))
+def test_connected_components_match_union_find(spark, pairs):
+    # pure-python union-find oracle
+    parent: dict = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    canon_pairs = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    for a, b in canon_pairs:
+        union(a, b)
+    # min id per set (union by min above is not guaranteed to leave the
+    # root minimal after path compression orderings — recompute)
+    groups: dict = {}
+    for node in parent:
+        groups.setdefault(find(node), set()).add(node)
+    expected = {}
+    for members in groups.values():
+        m = min(members)
+        for node in members:
+            expected[node] = m
+
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        connected_components)
+    df = spark.createDataFrame(canon_pairs, "key_a long, key_b long")
+    got = {r.key: r.component
+           for r in connected_components(df).collect()}
+    assert got == expected
