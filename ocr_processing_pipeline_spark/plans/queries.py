@@ -282,6 +282,51 @@ def near_dup_jaccard(spark, sf_dir):
 
 
 @register(
+    "ann_search",
+    """
+    WITH pl AS (
+      SELECT b, d,
+             ('0x' || substring(md5('plane:' || b || ':' || d), 1, 8))
+                 ::BIGINT / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, 5) g1(b), generate_series(0, 63) g2(d)),
+    vecs AS (
+      SELECT vec_id, pos - 1 AS d, CAST(v AS DOUBLE) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)),
+    dots AS (SELECT vec_id, b, sum(x * w) AS dot
+             FROM vecs JOIN pl USING (d) GROUP BY vec_id, b),
+    sigs AS (SELECT vec_id,
+                    CAST(sum(CASE WHEN dot >= 0
+                             THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+             FROM dots GROUP BY vec_id),
+    q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 2),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id = 2),
+    cands AS (SELECT e.vec_id, e.embedding FROM embeddings e
+              JOIN sigs s ON s.vec_id = e.vec_id, q
+              WHERE bit_count(xor(s.sig, qsig)) <= 2)
+    SELECT vec_id AS key,
+           ROUND(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), qvec), 5) AS cosine
+    FROM cands, qv
+    ORDER BY cosine DESC, key ASC
+    LIMIT 10
+    """,
+    doc="random-hyperplane LSH ANN, oracle-gated end to end: the md5 "
+        "planes, 6-bit signatures, hamming<=2 bucket probe, and exact "
+        "cosine re-rank are all reproduced in SQL (the bucketed scale "
+        "path of the vector-search family; candidates ~ n/2^bits)")
+def ann_search(spark, sf_dir):
+    from ..operators.similarity import ann_topk
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 2).select("embedding").first()[0]]
+    return ann_topk(e, "embedding", "vec_id", qvec, k=10,
+                    n_bits=6, hamming_radius=2)
+
+
+@register(
     "dedup_components",
     _SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """
     , sig AS (
