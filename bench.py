@@ -56,8 +56,18 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    extract_sec = timings.get("pipeline_extract_docs")
-    docs_per_sec = round(n_pages / extract_sec, 2) if extract_sec else None
+    # headline extraction throughput from a dedicated multi-rep loop:
+    # one sf0.1 pass is sub-second on 32 threads, so a single-run
+    # denominator swings 2x on host noise
+    from ocr_processing_pipeline_spark.pipeline.extract import extract_docs
+    pages_df = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    reps = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPS", "5"))
+    _run(extract_docs(pages_df).drop("spans"))        # warm
+    t0 = time.time()
+    for _ in range(reps):
+        _run(extract_docs(pages_df).drop("spans"))
+    extract_sec = (time.time() - t0) / reps
+    docs_per_sec = round(n_pages / extract_sec, 2)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -72,6 +82,7 @@ def main() -> None:
         "agg": "min",
         "extraction_docs_per_sec": docs_per_sec,
         "extraction_corpus_pages": n_pages,
+        "extraction_reps": reps,
     }))
 
 
