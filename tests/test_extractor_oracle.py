@@ -134,3 +134,38 @@ def test_spans_cover_charrefs_exactly():
     s1, e1 = res.spans[1]
     assert src[s1] == "&"          # span starts ON the leading ref
     assert src[e1:e1 + 4] == "</p>"
+
+
+def test_adversarial_html_invariants():
+    """Misnested tags, '>' inside attribute values, banned-tag nesting,
+    entity runs, unclosed blocks: never crash, spans stay valid, text
+    words come from the decoded source."""
+    from html import unescape
+    from ocr_processing_pipeline_spark.extractor.core import extract_page
+    nasty = (
+        '<html><body>'
+        '<div><p>outer starts with plenty of words to keep this block '
+        'alive <b>bold <i>misnested</b> italic</i> tail words here too</p>'
+        '<p data-x="a > b" title=\'no"quote\'>attribute angle brackets '
+        'should not break the block accounting at all here</p>'
+        '<nav><div><script>var x = "<p>fake</p>";</script>'
+        '<a href="/">menu</a></div></nav>'
+        '<p>&amp;&amp;&amp; run of refs &#38;&#38; mixed with words '
+        'making ten tokens easily &gt; previous block</p>'
+        '<p>unclosed final block with sufficient words to be kept '
+        'by the classifier today'
+        '</body></html>')
+    res = extract_page(nasty.encode())
+    src = nasty
+    assert res.failure_code == ""
+    assert "fake" not in res.text            # script content pruned
+    assert "menu" not in res.text            # nav pruned
+    decoded = unescape(src)
+    for w in set(res.text.split()):
+        assert w in decoded, w
+    prev = -1
+    for s0, e0 in res.spans:
+        assert 0 <= s0 < e0 <= len(src)
+        assert s0 > prev
+        assert not src[s0].isspace() and not src[e0 - 1].isspace()
+        prev = e0
