@@ -282,6 +282,49 @@ def near_dup_jaccard(spark, sf_dir):
 
 
 @register(
+    "semantic_segments",
+    """
+    WITH s AS (
+      SELECT label, vec_id, embedding,
+             lag(embedding) OVER (PARTITION BY label ORDER BY vec_id)
+                 AS prev
+      FROM embeddings)
+    SELECT label, vec_id,
+           CAST(sum(CASE WHEN prev IS NULL
+                         OR list_cosine_similarity(
+                             CAST(embedding AS DOUBLE[]),
+                             CAST(prev AS DOUBLE[])) < 0.15
+                    THEN 1 ELSE 0 END)
+                OVER (PARTITION BY label ORDER BY vec_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS INT) AS segment_no
+    FROM s
+    """,
+    doc="semantic-boundary segmentation: consecutive items merge while "
+        "adjacent cosine >= threshold (the inference-free analogue of "
+        "queryer.py's SIMILARITY_THRESHOLD chunk merge, over the "
+        "PRECOMPUTED embedding column; label plays the document role so "
+        "the window partitions - no global sort at scale)")
+def semantic_segments(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    cur = F.transform("embedding", lambda x: x.cast("double"))
+    prev = F.lag("embedding").over(w)
+    prevd = F.transform(prev, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(cur, prevd, lambda x, y: x * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    nrm = (lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)))
+    cos = dot / (nrm(cur) * nrm(prevd))
+    boundary = F.when(prev.isNull() | (cos < 0.15),
+                      F.lit(1)).otherwise(F.lit(0))
+    seg = F.sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return e.select("label", "vec_id",
+                    seg.cast("int").alias("segment_no"))
+
+
+@register(
     "ann_search",
     """
     WITH pl AS (
