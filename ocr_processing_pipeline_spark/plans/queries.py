@@ -282,6 +282,45 @@ def near_dup_jaccard(spark, sf_dir):
 
 
 @register(
+    "filtered_vector_search",
+    """
+    WITH combined AS (
+      SELECT d.doc_id AS key, d.text, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 7)
+    SELECT key,
+           ROUND((1 + list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), qv)) / 2, 5) AS certainty
+    FROM combined, q
+    WHERE text LIKE '%window%'
+      AND ROUND((1 + list_cosine_similarity(
+              CAST(embedding AS DOUBLE[]), qv)) / 2, 5) >= 0.6
+    ORDER BY certainty DESC, key ASC LIMIT 5
+    """,
+    doc="vector search with a certainty floor AND a substring filter "
+        "(page.py:69-94: near_vector certainty=0.7 + Like *query* + "
+        "limit 5; Weaviate certainty = (1+cosine)/2)")
+def filtered_vector_search(spark, sf_dir):
+    from ..operators.similarity import cosine_to
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    combined = (d.join(e, d.doc_id == e.vec_id)
+                .select(F.col("doc_id").alias("key"), "text", "embedding"))
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 7).select("embedding").first()[0]]
+    certainty = F.round(
+        (1 + cosine_to(qvec, F.col("embedding"))) / 2, 5)
+    return (combined
+            .filter(F.col("text").like("%window%"))
+            .withColumn("certainty", certainty)
+            .filter(F.col("certainty") >= 0.6)
+            .select("key", "certainty")
+            .orderBy(F.desc("certainty"), F.asc("key"))
+            .limit(5))
+
+
+@register(
     "semantic_segments",
     """
     WITH s AS (
