@@ -145,6 +145,12 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
     (small-data / oracle-comparable path). Either way no cross product:
     only keys sharing ≥1 shingle ever meet.
 
+    Precondition (inherited from ``shingles``): ``sh`` must carry one row
+    set per DISTINCT key — duplicate keys inflate both the size and
+    shared counts and silently skew every Jaccard value. Run
+    ``exact_dedup`` first (or ``minhash_lsh_dedup`` with its default
+    ``enforce_unique_keys=True``) when the corpus can carry duplicates.
+
     ``max_doc_freq`` drops shingles appearing in more than N docs before
     the self-join (standard stop-shingle pruning): a boilerplate 3-gram
     shared by millions of pages contributes O(df²) join rows but almost
@@ -196,8 +202,18 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
 def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
                       n: int = 3, min_jaccard: float = 0.8,
                       num_hashes: int = DEFAULT_NUM_HASHES,
-                      band_size: int = DEFAULT_BAND_SIZE) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH → verify."""
+                      band_size: int = DEFAULT_BAND_SIZE,
+                      enforce_unique_keys: bool = True) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH → verify.
+
+    ``enforce_unique_keys`` drops duplicate-key rows up front (shingles/
+    jaccard_pairs require one row per key or every count is silently
+    wrong). The drop is one shuffle of the input; a pipeline that already
+    ran ``exact_dedup`` (the recommended 100 TB order — collapse exact
+    dups BEFORE the shingle explode) can pass False to skip it.
+    """
+    if enforce_unique_keys:
+        df = df.dropDuplicates([key_col])
     sh = shingles(df, text_col, key_col, n=n)
     cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes),
                                 num_hashes, band_size)
@@ -295,6 +311,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     + one aggregate; the loop stops when a round changes nothing (the
     convergence check is the only driver-side action, O(1) per round).
     ``component`` = min key of the cluster = the canonical id.
+
+    Labels spread one hop per round, so a pair chain longer than
+    ``max_iter`` hops (sequential template drift) would exit the loop
+    un-converged with silently SPLIT components — that case raises
+    instead (detected by the same O(1)-row probe the loop already runs).
     """
     e = pairs.select(F.col("key_a").alias("src"),
                      F.col("key_b").alias("dst"))
@@ -306,6 +327,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = edges.localCheckpoint()
     labels = (edges.select(F.col("src").alias("key")).distinct()
               .withColumn("comp", F.col("key")))
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (edges
                    .join(labels.withColumnRenamed("key", "dst"), "dst")
@@ -321,6 +343,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds the iteration cap); raise max_iter")
     return labels.select("key", F.col("comp").alias("component"))
 
 

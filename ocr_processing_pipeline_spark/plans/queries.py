@@ -299,8 +299,9 @@ def near_dup_jaccard(spark, sf_dir):
     ORDER BY certainty DESC, key ASC LIMIT 5
     """,
     doc="vector search with a certainty floor AND a substring filter "
-        "(page.py:69-94: near_vector certainty=0.7 + Like *query* + "
-        "limit 5; Weaviate certainty = (1+cosine)/2)")
+        "(page.py:69-94: near_vector certainty + Like *query* + limit 5; "
+        "Weaviate certainty = (1+cosine)/2; the reference floor is 0.7 — "
+        "lowered to 0.6 here so the synthetic corpus returns hits)")
 def filtered_vector_search(spark, sf_dir):
     from ..operators.similarity import cosine_to
     d = _t(spark, sf_dir, "documents")
@@ -1656,8 +1657,10 @@ _GAZ_BC_CACHE: dict = {}
 def _gazetteers_for(spark, corpus: str):
     """One gazetteer broadcast per corpus dir per session (a dimension
     table loads once; re-collecting + re-broadcasting per query run only
-    measures the loader)."""
-    key = (id(spark.sparkContext), corpus)
+    measures the loader). Keyed on applicationId, not id(sc): a stopped
+    context's id() can be reused by a new one at the same address and
+    would serve a dead broadcast."""
+    key = (spark.sparkContext.applicationId, corpus)
     bc = _GAZ_BC_CACHE.get(key)
     if bc is None:
         from ..pipeline.ner import load_gazetteers

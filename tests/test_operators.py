@@ -242,3 +242,39 @@ def test_connected_components_transitive(spark):
     comp = {r.key: r.component
             for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_on_cap_exit(spark):
+    """A chain longer than max_iter hops must raise, never return
+    silently split components (min-label spreads one hop per round)."""
+    import pytest
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        connected_components)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "key_a long, key_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    comp = {r.key: r.component
+            for r in connected_components(chain, max_iter=10).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_minhash_lsh_dedup_enforces_unique_keys(spark):
+    """Duplicate input keys must not inflate shingle counts: the default
+    enforce_unique_keys drops them, so a doc duplicated 3x under one key
+    scores identically to a single-row corpus."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        minhash_lsh_dedup)
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_dedup(df, "text", "doc_id", n=3, min_jaccard=0.1,
+                            num_hashes=4, band_size=2).collect()
+    clean = minhash_lsh_dedup(
+        spark.createDataFrame(rows[2:], "doc_id long, text string"),
+        "text", "doc_id", n=3, min_jaccard=0.1,
+        num_hashes=4, band_size=2).collect()
+    key = lambda r: (r.key_a, r.key_b, r.shared, r.n_a, r.n_b)
+    assert sorted(map(key, out)) == sorted(map(key, clean))
