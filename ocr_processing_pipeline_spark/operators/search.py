@@ -40,12 +40,21 @@ def _tok_array(text_col):
 def bm25_scores(df: DataFrame, text_col: str, key_col: str,
                 query_terms: list[str], round_to: int = 4) -> DataFrame:
     """(key, bm25) for every doc containing ≥1 query term. Single corpus
-    pass; see module docstring for the scale contract."""
+    pass; see module docstring for the scale contract.
+
+    The narrow (key, doc_len, hits) projection is localCheckpointed
+    (lazy): the corpus stats leg, the tf leg, and the df leg all derive
+    from it, and without the checkpoint Catalyst gave each its own
+    FileScan — 3 full corpus reads for one query. Materializing the
+    projection (a few bytes per doc — no text) makes the physical plan
+    scan the corpus exactly ONCE; tests/test_plans.py counts the scans.
+    """
     terms = [t.lower() for t in query_terms]
     toks = _tok_array(text_col)
     base = df.select(F.col(key_col).alias("key"),
                      F.size(toks).alias("doc_len"),
                      F.filter(toks, lambda t: t.isin(terms)).alias("hits"))
+    base = base.localCheckpoint(eager=False)
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.when(F.col("doc_len") > 0, F.col("doc_len")))

@@ -128,3 +128,15 @@ def test_bm25_no_corpus_wide_token_shuffle(spark):
     gen = p.split("Generate explode")[1].split("\n")[0] if (
         "Generate explode" in p) else p
     assert "filter(" in gen.lower() or "hits" in gen
+
+
+def test_bm25_single_corpus_scan(spark):
+    """bm25_scores' scale contract is ONE corpus pass: the checkpointed
+    (key, doc_len, hits) projection feeds stats, tf, and df — without it
+    each leg got its own FileScan (3 corpus reads per query)."""
+    from ocr_processing_pipeline_spark.operators.search import bm25_scores
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = bm25_scores(docs, "text", "doc_id", ["the", "and", "window"])
+    p = plan(out)
+    assert p.count("Scan parquet") == 0, p
+    assert "ExistingRDD" in p
