@@ -177,6 +177,13 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
                      .union(candidates.select(F.col("key_b").alias("key")))
                      .distinct())
         sh = sh.join(cand_keys, "key", "left_semi")
+    # materialize the (restricted, hashed) inverted index ONCE: it feeds
+    # the sizes leg and BOTH sides of the self-join — without this
+    # Catalyst re-runs the whole shingle explode three times (the r2
+    # 9.0 s regression was exactly that; checkpointed it is ~5 s at
+    # sf0.1, under r1's 6.0 s). Two longs per row — far smaller than
+    # the corpus it indexes.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -214,7 +221,9 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
     """
     if enforce_unique_keys:
         df = df.dropDuplicates([key_col])
-    sh = shingles(df, text_col, key_col, n=n)
+    # one shingle explode for the whole chain: the signature leg and the
+    # verify leg otherwise each re-run it from the corpus scan
+    sh = shingles(df, text_col, key_col, n=n).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes),
                                 num_hashes, band_size)
     return jaccard_pairs(sh, min_jaccard, candidates=cands)

@@ -557,13 +557,55 @@ def lsh_near_dup_pairs(spark, sf_dir):
                       F.round("jaccard", 5).alias("jaccard"))
 
 
-# NOTE: the 100 TB path of the Jaccard family — stop-shingle pruning
-# (jaccard_pairs max_doc_freq) and LSH candidate restriction — is
-# deliberately NOT a registry query: the synthetic corpus has no
-# boilerplate (max shingle df at sf0.1 is 25), so the prune removes
-# nothing and only adds an aggregation pass. The knob is exercised by
-# tests/test_search.py::test_jaccard_max_doc_freq_prunes_hot_shingles
-# with planted boilerplate.
+# The stop-shingle prune needs boilerplate to prune and the synthetic
+# corpus has none (max shingle df at sf0.1 is 25) — so this query PLANTS
+# it: a constant footer appended to every document (the web reality the
+# prune exists for: imprint/contact/rights boilerplate shared by an
+# entire host). Appended identically on both sides, so the oracle
+# verifies the pruned scores exactly.
+_BOILERPLATE = " impressum kontakt datenschutz alle rechte vorbehalten"
+
+_SHINGLES_BP_SQL = _SHINGLES_SQL.replace(
+    "lower(trim(text))",
+    "lower(trim(text || '" + _BOILERPLATE + "'))")
+
+
+@register(
+    "near_dup_jaccard_pruned",
+    _SHINGLES_BP_SQL + """
+    , kept AS (
+      SELECT * FROM sh WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 25)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+              FROM kept GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM kept a JOIN kept b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT key_a, key_b, shared,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 5)
+               AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = key_a
+    JOIN sizes sb ON sb.doc_id = key_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.1
+    """,
+    doc="the 100 TB Jaccard path: stop-shingle pruning (max_doc_freq=25) "
+        "over a boilerplate-planted corpus — a footer shared by EVERY doc "
+        "would make the inverted-index self-join O(n_docs²) on its "
+        "shingles; the df-prune drops them before the join and both "
+        "sides of the oracle prune identically")
+def near_dup_jaccard_pruned(spark, sf_dir):
+    from ..operators.dedup import jaccard_pairs, shingles
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat("text", F.lit(_BOILERPLATE)))
+    sh = shingles(d, "text", "doc_id", n=3)
+    out = jaccard_pairs(sh, min_jaccard=0.1, max_doc_freq=25)
+    return out.select("key_a", "key_b", "shared", "n_a", "n_b",
+                      F.round("jaccard", 5).alias("jaccard"))
 
 
 @register(
