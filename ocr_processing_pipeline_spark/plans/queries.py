@@ -638,6 +638,63 @@ def simhash_signatures_q(spark, sf_dir):
     return simhash(d, "text", "doc_id").withColumnRenamed("key", "doc_id")
 
 
+@register(
+    "simhash_near_dup_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ')) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g.tok), 1, 8))::BIGINT AS h
+      FROM toks, LATERAL unnest(t) AS g(tok)),
+    votes AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, LATERAL unnest(generate_series(0, 31)) AS b(b)
+      GROUP BY doc_id, b.b),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, simhash,
+             CAST(b.b AS VARCHAR) || '|' ||
+             CAST((simhash >> (b.b * 8)) & 255 AS VARCHAR) AS band
+      FROM sig, LATERAL unnest(generate_series(0, 3)) AS b(b)),
+    b2 AS (SELECT * FROM (
+             SELECT doc_id, simhash, band,
+                    count(*) OVER (PARTITION BY band) AS bn
+             FROM banded) WHERE bn <= 10000),
+    cands AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM b2 a JOIN b2 b USING (band)
+              WHERE a.doc_id < b.doc_id)
+    SELECT key_a, key_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    doc="the FULL SimHash chain, oracle-gated end to end: 32-bit "
+        "signatures -> 4 disjoint 8-bit bands (hot-bucket cap 10000) -> "
+        "candidate self-join -> hamming <= 3 verify. Pigeonhole recall "
+        "guarantee: hamming <= n_bands-1 pairs always share a band, so "
+        "every returned pair class is reachable (the near-duplicate "
+        "document search analogue of Query/document_search.py:46-94)")
+def simhash_near_dup_pairs(spark, sf_dir):
+    from ..operators.dedup import simhash, simhash_candidates
+    d = _t(spark, sf_dir, "documents")
+    sig = simhash(d, "text", "doc_id")
+    cand = simhash_candidates(sig, n_bands=4, max_bucket_size=10000)
+    return (cand.filter(F.col("hamming") <= 3)
+            .select("key_a", "key_b",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
 # =============================================================================
 # Similarity search (embeddings table)
 # =============================================================================
