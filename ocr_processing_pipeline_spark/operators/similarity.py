@@ -124,18 +124,25 @@ def ivf_index(df: DataFrame, vec_col: str, key_col: str,
              base.orderBy("key").limit(n_cells).collect()]
 
     def assign(centroids) -> DataFrame:
+        # argmin over an ARRAY of distances, not a chain of nested whens:
+        # when-chains double the expression tree per centroid (best_d
+        # appears in its own successor's condition AND else-branch),
+        # which is 2^k nodes at k cells — codegen stalled at k=16. The
+        # array form is linear (k×dim), and naming d2s in a projection
+        # keeps array_min/array_position from duplicating the tree.
+        # array_position returns the FIRST index of the min → ties break
+        # to the lowest cell, matching the oracle's ORDER BY dist, cell.
         arrs = [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
         d2 = [F.aggregate(F.zip_with(F.col("vec"), a,
                                      lambda x, y: (x - y) * (x - y)),
                           F.lit(0.0), lambda acc, v: acc + v)
               for a in arrs]
-        best = F.lit(0)
-        best_d = d2[0]
-        for i in range(1, len(d2)):
-            cond = d2[i] < best_d
-            best = F.when(cond, F.lit(i)).otherwise(best)
-            best_d = F.when(cond, d2[i]).otherwise(best_d)
-        return base.withColumn("cell", best.cast("int"))
+        return (base.withColumn("d2s", F.array(*d2))
+                .withColumn("cell",
+                            (F.array_position(
+                                "d2s", F.array_min("d2s")) - 1)
+                            .cast("int"))
+                .drop("d2s"))
 
     for _ in range(iters):
         assigned = assign(cents)

@@ -161,6 +161,89 @@ _LANGID_SQL = """
 """.format(**_LANG_PATS)
 
 
+@register(
+    "doc_quality_gopher",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_words,
+             ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE)
+                   / GREATEST(len(toks), 1), 5) AS mean_word_len,
+             ROUND(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                        AS DOUBLE)
+                   / GREATEST(len(toks), 1), 5) AS symbol_word_ratio,
+             ROUND(CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / GREATEST(len(toks), 1), 5) AS alpha_word_frac,
+             CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(toks, 'key') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(toks, 'value') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(toks, 'row') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END)
+                  AS INT) AS n_stop_hits,
+             ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / GREATEST(len(toks), 1), 5) AS dup_word_frac
+      FROM w)
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           alpha_word_frac, n_stop_hits, dup_word_frac,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_word_ratio <= 0.1
+            AND alpha_word_frac >= 0.8
+            AND n_stop_hits >= 2) AS keep
+    FROM m
+    """,
+    doc="Gopher-style quality-filter rule set (Rae et al. 2021 §A1.1, "
+        "C4-adjacent) — the filters a training-data pipeline runs after "
+        "dedup: word-count bounds (50..100k), mean-word-length band "
+        "(3..10), symbol-to-word ratio ('#'/'...' <= 0.1), alphabetic-"
+        "word fraction >= 0.8, stop-word requirement (>= 2 hits of the "
+        "corpus's function words, playing Gopher's English stop-word "
+        "role), plus a repetition ratio "
+        "(duplicate-word fraction) reported unmixed into the gate")
+def doc_quality_gopher(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_words = F.size(toks)
+    denom = F.greatest(n_words, F.lit(1))
+    mean_word_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+        .cast("double") / denom, 5)
+    symbol_word_ratio = F.round(
+        F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
+        .cast("double") / denom, 5)
+    alpha_word_frac = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        .cast("double") / denom, 5)
+    stops = ["the", "a", "key", "value", "table", "row", "data",
+             "query"]
+    n_stop_hits = sum(
+        F.array_contains(toks, s).cast("int") for s in stops).alias("x")
+    dup_word_frac = F.round(
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / denom, 5)
+    m = d.select(
+        "doc_id", n_words.cast("int").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        n_stop_hits.cast("int").alias("n_stop_hits"),
+        dup_word_frac.alias("dup_word_frac"))
+    keep = ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+            & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+            & (F.col("symbol_word_ratio") <= 0.1)
+            & (F.col("alpha_word_frac") >= 0.8)
+            & (F.col("n_stop_hits") >= 2))
+    return m.withColumn("keep", keep)
+
+
 @register("doc_langid", _LANGID_SQL,
           doc="language-ID heuristic: argmax stopword hits (U2 analogue)")
 def doc_langid(spark, sf_dir):
@@ -407,6 +490,55 @@ def ann_search(spark, sf_dir):
             e.filter(F.col("vec_id") == 2).select("embedding").first()[0]]
     return ann_topk(e, "embedding", "vec_id", qvec, k=10,
                     n_bits=6, hamming_radius=2)
+
+
+@register(
+    "ivf_search",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                        c.cv), c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 5),
+    qcells AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               row_number() OVER (ORDER BY list_distance(c.cv, qv),
+                                  c.cell) AS rn
+        FROM cents c, q) WHERE rn <= 4),
+    cands AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      WHERE a.cell IN (SELECT cell FROM qcells))
+    SELECT vec_id AS key,
+           ROUND(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), qv), 5) AS cosine
+    FROM cands, q
+    ORDER BY cosine DESC, key ASC
+    LIMIT 10
+    """,
+    doc="IVF ANN with FROZEN centroids (the 16 lowest-key vectors, zero "
+        "Lloyd steps) so assignment + n_probe=4 cell probe + exact "
+        "cosine re-rank are exactly reproducible in SQL — the iterative "
+        "trainer stays pytest-gated because cross-engine float-summation "
+        "order makes trained centroid VALUES brittle, but frozen-"
+        "centroid assignment only compares distances (sample-train / "
+        "assign-full is also the real 10^12-row pattern)")
+def ivf_search(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 5).select("embedding").first()[0]]
+    return ivf_topk(e, "embedding", "vec_id", qvec, k=10,
+                    n_cells=16, n_probe=4, iters=0)
 
 
 @register(
@@ -739,7 +871,9 @@ def embedding_label_centroids(spark, sf_dir):
     # shuffle of n_labels×dim rows) instead of posexploding every vector
     from ..operators.similarity import label_centroids
     e = _t(spark, sf_dir, "embeddings")
-    cents = label_centroids(e, "embedding", "label", round_to=5)
+    # dim passed explicitly (testdata embeddings are 64-wide, TESTDATA.md)
+    # so no .first() dim probe remains in the query path
+    cents = label_centroids(e, "embedding", "label", round_to=5, dim=64)
     return (cents.select("label",
                          F.posexplode("centroid").alias("pos0", "m"))
             .select("label", F.col("pos0").cast("int").alias("pos"), "m"))
