@@ -40,6 +40,10 @@ class FailureCode:
     PDF_TRUNCATED = "PDF_TRUNCATED"
     PDF_BAD_MAGIC = "PDF_BAD_MAGIC"
     NO_CONTENT = "NO_CONTENT"
+    # assigned by the Spark stage's byte-length pre-filter, never by
+    # extract_page itself (the gate is a pipeline routing decision;
+    # the pure extractor has no size opinion)
+    OVERSIZED = "OVERSIZED_INPUT"
 
 
 # Synthetic PDF-ish container (FIXTURES.md §1): magic, then repeated

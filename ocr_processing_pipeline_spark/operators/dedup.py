@@ -36,8 +36,16 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
-def fingerprint(col):
-    """Portable content fingerprint: md5 of normalized text."""
+def fingerprint(col, hash_impl: str = "md5"):
+    """Content fingerprint of normalized text.
+
+    ``md5`` (default) is the oracle-portable form (DuckDB has md5);
+    ``xxhash64`` is the production form — one 64-bit JVM hash instead of
+    a 128-bit cryptographic digest, Spark-only. Downstream only ever
+    groups/joins on the value, so the two are interchangeable semantically
+    (tests assert identical dedup decisions on planted duplicates)."""
+    if hash_impl == "xxhash64":
+        return F.xxhash64(normalize_text(col))
     return F.md5(normalize_text(col))
 
 
@@ -81,14 +89,26 @@ def shingles(df: DataFrame, text_col: str, key_col: str,
 
 
 def minhash_signatures(sh: DataFrame,
-                       num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
-    """(key, h0..h{k-1}): minhash over a seeded md5 family (portable).
+                       num_hashes: int = DEFAULT_NUM_HASHES,
+                       hash_impl: str = "md5") -> DataFrame:
+    """(key, h0..h{k-1}): minhash over a seeded hash family.
 
-    Each md5 digest is split into four independent 32-bit (8-hex) lanes,
-    so k hashes cost ceil(k/4) md5 evaluations per shingle instead of k —
-    the digests are materialized in an explicit projection so they are
-    computed exactly once. Fixed-width lowercase hex makes string min ==
-    numeric min."""
+    ``md5`` (default, oracle-portable): each digest is split into four
+    independent 32-bit (8-hex) lanes, so k hashes cost ceil(k/4) md5
+    evaluations per shingle instead of k — the digests are materialized
+    in an explicit projection so they are computed exactly once.
+    Fixed-width lowercase hex makes string min == numeric min.
+
+    ``xxhash64`` (production, Spark-only): one seeded 64-bit JVM hash per
+    lane — ``xxhash64(seed_i, shingle)`` — no hex round-trip, numeric
+    min. Signatures are longs instead of hex strings; banding concats
+    them identically, so LSH collision behavior is the same family-of-
+    independent-hashes construction either way (tests assert planted
+    duplicates band-collide identically under both)."""
+    if hash_impl == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}")
+                for i in range(num_hashes)]
+        return sh.groupBy("key").agg(*aggs)
     n_md5 = (num_hashes + 3) // 4
     proj = sh.select(
         "key",
@@ -210,7 +230,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
                       n: int = 3, min_jaccard: float = 0.8,
                       num_hashes: int = DEFAULT_NUM_HASHES,
                       band_size: int = DEFAULT_BAND_SIZE,
-                      enforce_unique_keys: bool = True) -> DataFrame:
+                      enforce_unique_keys: bool = True,
+                      hash_impl: str = "md5") -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH → verify.
 
     ``enforce_unique_keys`` drops duplicate-key rows up front (shingles/
@@ -224,8 +245,9 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
     # one shingle explode for the whole chain: the signature leg and the
     # verify leg otherwise each re-run it from the corpus scan
     sh = shingles(df, text_col, key_col, n=n).localCheckpoint(eager=False)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes),
-                                num_hashes, band_size)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes, hash_impl=hash_impl),
+        num_hashes, band_size)
     return jaccard_pairs(sh, min_jaccard, candidates=cands)
 
 

@@ -22,8 +22,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..extractor.core import extract_page
+from ..extractor.core import FailureCode, extract_page
 from ..extractor.textproc import detect_lang_tokens, tokenize
+
+# Giant-page quarantine (SCALE.md item 2): one outlier page bigger than
+# this never enters an Arrow batch — the bytes are nulled out JVM-side
+# and the row is emitted with failure_code=OVERSIZED_INPUT, so a single
+# pathological crawl record can't blow a python worker at 100×. The
+# checkpoint rows' failure histogram records the quarantine count.
+DEFAULT_MAX_PAGE_BYTES = 100 * 1024 * 1024
 
 # Spans are emitted as arrays of structs so downstream stages and the parity
 # suite can check monotone, in-bounds offsets (FIXTURES.md §3 invariants).
@@ -56,10 +63,19 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "extract_us": [],
             "spans": [],
         }
-        for html, pre_text in zip(pdf["html"], pdf["text"]):
+        oversized = (pdf["_oversized"] if "_oversized" in pdf.columns
+                     else [False] * len(pdf))
+        for html, pre_text, too_big in zip(pdf["html"], pdf["text"],
+                                           oversized):
             t0 = perf_counter_ns()
-            res = extract_page(bytes(html) if html is not None else None,
-                               pre_text)
+            if too_big:
+                # bytes were nulled JVM-side; emit the quarantine row
+                res = extract_page(None, None)
+                res.failure_code = FailureCode.OVERSIZED
+                res.content_kind = "quarantined"
+            else:
+                res = extract_page(
+                    bytes(html) if html is not None else None, pre_text)
             toks = tokenize(res.text)      # one pass shared by count+langid
             out["text"].append(res.text)
             out["token_length"].append(len(toks))
@@ -74,15 +90,38 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def extract_docs(pages: DataFrame) -> DataFrame:
+def extract_docs(pages: DataFrame,
+                 max_page_bytes: int = DEFAULT_MAX_PAGE_BYTES) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → docs table.
 
     Column pruning: only the five input columns are read; Catalyst pushes
     the projection into the parquet scan.
+
+    Pages whose html payload exceeds ``max_page_bytes`` are quarantined
+    JVM-side (octet_length test in the same projection — still one
+    shuffle-free stage): their bytes are replaced by NULL before the
+    Arrow transfer and the row comes back with
+    failure_code=OVERSIZED_INPUT, empty text. ``max_page_bytes=None``
+    disables the gate.
     """
+    if max_page_bytes is None:
+        pruned = (pages
+                  .select("url", "warc_ts", "html", "text", "lang")
+                  .withColumn("_oversized", F.lit(False)))
+    else:
+        too_big = F.octet_length("html") > F.lit(int(max_page_bytes))
+        pruned = pages.select(
+            "url", "warc_ts",
+            F.when(F.coalesce(too_big, F.lit(False)),
+                   F.lit(None).cast("binary"))
+            .otherwise(F.col("html")).alias("html"),
+            F.when(F.coalesce(too_big, F.lit(False)),
+                   F.lit(None).cast("string"))
+            .otherwise(F.col("text")).alias("text"),
+            "lang",
+            F.coalesce(too_big, F.lit(False)).alias("_oversized"))
     docs = (
-        pages
-        .select("url", "warc_ts", "html", "text", "lang")
+        pruned
         .mapInPandas(_extract_batches, schema=DOCS_UDF_SCHEMA)
         .withColumn("doc_id", F.xxhash64("url"))
     )

@@ -46,7 +46,8 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
                  out_dir: str, n_buckets: int = DEFAULT_N_BUCKETS,
                  resume: bool = True,
                  with_mentions: bool = False,
-                 fail_after_buckets: int | None = None) -> dict:
+                 fail_after_buckets: int | None = None,
+                 max_page_bytes: int | None = None) -> dict:
     """Run (or resume) the full pipeline; returns per-table row counts.
 
     ``fail_after_buckets`` processes only that many remaining buckets — the
@@ -85,7 +86,9 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
         os.path.join(gazetteers_dir, "places.parquet"),
         os.path.join(gazetteers_dir, "orgs.parquet"))
 
-    docs = extract_mod.extract_docs(todo).withColumn(
+    extract_kw = ({"max_page_bytes": max_page_bytes}
+                  if max_page_bytes is not None else {})
+    docs = extract_mod.extract_docs(todo, **extract_kw).withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
     docs_path = os.path.join(out_dir, "docs")
     lineage.write_partitioned(docs, docs_path)
@@ -143,13 +146,18 @@ def main(argv=None):
     ap.add_argument("--n-buckets", type=int, default=DEFAULT_N_BUCKETS)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--max-page-bytes", type=int, default=None,
+                    help="quarantine pages whose html exceeds this many "
+                         "bytes (failure_code=OVERSIZED_INPUT; default "
+                         "100 MiB, the extract stage's own default)")
     args = ap.parse_args(argv)
 
     spark = get_spark("extraction_job", cpus=args.cpus)
     t0 = time.time()
     counts = run_pipeline(spark, args.pages, args.gazetteers_dir, args.out,
                           n_buckets=args.n_buckets,
-                          resume=not args.no_resume)
+                          resume=not args.no_resume,
+                          max_page_bytes=args.max_page_bytes)
     elapsed = time.time() - t0
     print(json.dumps({"elapsed_sec": round(elapsed, 2), **counts}))
 
