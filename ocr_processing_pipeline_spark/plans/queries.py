@@ -828,6 +828,149 @@ def simhash_near_dup_pairs(spark, sf_dir):
 
 
 # =============================================================================
+# Training-data curation ops: decontamination, PII scrubbing, deterministic
+# sampling, sequence packing (the post-dedup stages of an LLM data pipeline)
+# =============================================================================
+
+@register(
+    "decontaminate_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ') AS t
+      FROM documents),
+    bench AS (
+      SELECT DISTINCT array_to_string(t[1:5], ' ') AS shingle
+      FROM toks WHERE doc_id IN (3, 7, 11)),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i:i+4], ' ') AS shingle
+      FROM toks,
+           LATERAL unnest(generate_series(1, greatest(len(t) - 4, 1)))
+             AS g(i)
+      WHERE length(array_to_string(t[i:i+4], ' ')) > 0)
+    SELECT doc_id, CAST(count(DISTINCT shingle) AS BIGINT) AS n_hits
+    FROM sh JOIN bench USING (shingle)
+    GROUP BY doc_id
+    """,
+    doc="benchmark decontamination: flag documents sharing any 5-gram "
+        "with a benchmark set (here: the opening 5-gram of docs 3/7/11 "
+        "plays the benchmark) via an inverted-index equality join with "
+        "the benchmark side BROADCAST — the n-gram-collision "
+        "decontamination every serious pre-training pipeline runs; "
+        "never a substring scan of the corpus")
+def decontaminate_docs(spark, sf_dir):
+    from ..operators.dedup import normalize_text, shingles
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    bench = (d.filter(F.col("doc_id").isin(3, 7, 11))
+             .select(F.concat_ws(" ", F.slice(toks, 1, 5)).alias("shingle"))
+             .distinct())
+    sh5 = shingles(d, "text", "doc_id", n=5)
+    return (sh5.join(F.broadcast(bench), "shingle")
+            .groupBy(F.col("key").alias("doc_id"))
+            .agg(F.countDistinct("shingle").cast("long").alias("n_hits")))
+
+
+@register(
+    "doc_pii_scrub",
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 079-555-0123' AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '\\d{3}-\\d{3}-\\d{4}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS clean_text
+    FROM planted
+    """,
+    doc="PII scrubbing: count + redact emails and phone numbers "
+        "(planted deterministically per doc — the corpus carries none) "
+        "with RE2/Java-portable patterns; pure regexp_replace built-ins, "
+        "JVM-side, the standard pre-training redaction pass")
+def doc_pii_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or 079-555-0123")).alias("text"))
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\d{3}-\d{3}-\d{4}"
+    return planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(phone)).cast("int").alias("n_phones"),
+        F.regexp_replace(F.regexp_replace("text", email, "<EMAIL>"),
+                         phone, "<PHONE>").alias("clean_text"))
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+    """,
+    doc="deterministic stratified hash-sampling (data mixing): keep 50% "
+        "of English, 20% of everything else, decided by a content-"
+        "independent md5(doc_id) bucket — reproducible across runs, "
+        "engines, and cluster sizes (no RNG state, no sample() "
+        "nondeterminism), exactly the downsampling step of a data-"
+        "mixture recipe; filter is a narrow scan, no shuffle")
+def stratified_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 100)
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(20))
+    return (d.filter(bucket < rate)
+            .select("doc_id", "lang", "source"))
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+                 AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) / 512.0) AS INT) AS bin
+    FROM t
+    """,
+    doc="sequence packing for training batches: documents are packed "
+        "into 512-token bins by a running token-count prefix sum within "
+        "each source partition (deterministic doc_id order) — the "
+        "window partitions by source so no global sort exists at scale; "
+        "greedy sequential packing, the shape used to build fixed-"
+        "budget training sequences")
+def pack_sequences(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("int")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    return t.select(
+        "doc_id", "source", "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0)
+        .cast("int").alias("bin"))
+
+
+# =============================================================================
 # Similarity search (embeddings table)
 # =============================================================================
 
