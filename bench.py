@@ -47,6 +47,7 @@ def main() -> None:
     # (CLAUDE.md); min-of-2 within one JVM is the stable signal
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    import gc
     for name, q in sorted(QUERIES.items()):
         best = None
         for _ in range(n_runs):
@@ -55,6 +56,12 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # drop py4j refs to this query's DataFrames so ContextCleaner can
+        # release its localCheckpointed RDDs — otherwise the storage of
+        # ~10 checkpoint-using queries accumulates across the run and
+        # late-alphabet queries time under GC/memory pressure (observed:
+        # pivot/rollup 4-5x their fresh-JVM times before this)
+        gc.collect()
 
     # headline extraction throughput from a dedicated multi-rep loop:
     # one sf0.1 pass is sub-second on 32 threads, so a single-run

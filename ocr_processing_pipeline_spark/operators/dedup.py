@@ -184,11 +184,20 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
     effect on any count is negligible and the DuckDB oracle run stays
     green on the test corpora).
     """
-    sh = sh.select("key", F.xxhash64("shingle").alias("shingle"))
+    # materialize the hashed inverted index ONCE, BEFORE any consumer:
+    # it feeds the df-prune aggregation, the sizes leg, and BOTH sides
+    # of the self-join — without this Catalyst re-runs the whole shingle
+    # explode per leg (the r2 9.0 s regression was exactly that;
+    # checkpointed it is ~5 s at sf0.1, under r1's 6.0 s). Two longs per
+    # row — far smaller than the corpus it indexes.
+    sh = (sh.select("key", F.xxhash64("shingle").alias("shingle"))
+          .localCheckpoint(eager=False))
+    restricted = False
     if max_doc_freq is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > max_doc_freq).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        restricted = True
     if candidates is not None:
         # restrict the inverted index to candidate KEYS before the
         # self-join (not just the pair set after): the whole point of LSH
@@ -197,13 +206,11 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
                      .union(candidates.select(F.col("key_b").alias("key")))
                      .distinct())
         sh = sh.join(cand_keys, "key", "left_semi")
-    # materialize the (restricted, hashed) inverted index ONCE: it feeds
-    # the sizes leg and BOTH sides of the self-join — without this
-    # Catalyst re-runs the whole shingle explode three times (the r2
-    # 9.0 s regression was exactly that; checkpointed it is ~5 s at
-    # sf0.1, under r1's 6.0 s). Two longs per row — far smaller than
-    # the corpus it indexes.
-    sh = sh.localCheckpoint(eager=False)
+        restricted = True
+    if restricted:
+        # cut the restriction joins too, or each of the three downstream
+        # legs replays them against the first checkpoint
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

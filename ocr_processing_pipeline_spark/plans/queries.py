@@ -833,6 +833,30 @@ def simhash_near_dup_pairs(spark, sf_dir):
 # =============================================================================
 
 @register(
+    "top_ngrams",
+    _SHINGLES_SQL + """
+    SELECT shingle,
+           CAST(count(*) AS BIGINT) AS doc_freq
+    FROM sh GROUP BY shingle
+    ORDER BY doc_freq DESC, shingle ASC
+    LIMIT 20
+    """,
+    doc="corpus-level top-k frequent 3-grams by document frequency "
+        "(the corpus-statistics pass behind boilerplate discovery and "
+        "Gopher's repetition analysis): shingle explode -> partial-"
+        "aggregated count -> TakeOrderedAndProject (top-k reduce, never "
+        "a global sort); deterministic tie-break on the shingle")
+def top_ngrams(spark, sf_dir):
+    from ..operators.dedup import shingles
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=3)
+    return (sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+            .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+            .limit(20))
+
+
+@register(
     "decontaminate_docs",
     """
     WITH toks AS (

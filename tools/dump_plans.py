@@ -48,11 +48,13 @@ COMMENT = {
         "TakeOrderedAndProject: per-partition top-k heaps merged on the "
         "driver — never a global sort of 10^12 rows."),
     "bm25_search": (
-        "One corpus pass: doc_len from size() of the token array (no "
-        "corpus-wide token explode), query-term hits filtered INSIDE the "
-        "array before the explode, corpus stats one aggregation broadcast "
-        "back — zero driver-side actions; the only exploded rows are "
-        "query-term hits."),
+        "PHYSICALLY one corpus pass: the narrow (key, doc_len, hits) "
+        "projection is localCheckpointed, so the stats/tf/df legs read "
+        "'Scan ExistingRDD' (the materialized projection) and ZERO "
+        "parquet FileScans remain (r2 had three). Query-term hits are "
+        "filtered INSIDE the token array before the explode; corpus "
+        "stats are one aggregation broadcast back — zero driver-side "
+        "actions; plan test counts the scans."),
     "layered_search": (
         "Coarse-to-fine over one table: doc-level BM25 top-k "
         "(TakeOrderedAndProject), broadcast LeftSemi restricts the corpus "
