@@ -140,3 +140,17 @@ def test_bm25_single_corpus_scan(spark):
     p = plan(out)
     assert p.count("Scan parquet") == 0, p
     assert "ExistingRDD" in p
+
+
+def test_jaccard_single_corpus_scan(spark):
+    """jaccard_pairs materializes the hashed inverted index once: the
+    sizes leg and both self-join sides read the checkpoint, so at most
+    one parquet scan of the corpus appears in the final plan."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        jaccard_pairs, shingles)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = jaccard_pairs(shingles(docs, "text", "doc_id", n=3),
+                        min_jaccard=0.1)
+    p = plan(out)
+    assert p.count("Scan parquet") == 0, p
+    assert "ExistingRDD" in p
