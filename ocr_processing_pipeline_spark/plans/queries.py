@@ -833,6 +833,53 @@ def simhash_near_dup_pairs(spark, sf_dir):
 # =============================================================================
 
 @register(
+    "sessionize_clicks",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    t AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS INT) AS session_no
+      FROM s)
+    SELECT user_id, session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM t GROUP BY user_id, session_no
+    """,
+    doc="batch gap-based sessionization (30-min inactivity gap): lag + "
+        "running sum of session starts, windows partitioned by user so "
+        "no global sort exists at scale; gaps compared at microsecond "
+        "precision (unix_micros/epoch_us) so truncation can't flip a "
+        "boundary; the batch twin of streaming/session_window")
+def sessionize_clicks(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = ts_us - F.lag(ts_us).over(w)
+    new_s = F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000),
+                   F.lit(1)).otherwise(F.lit(0))
+    session_no = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = e.select("user_id", "ts",
+                 session_no.cast("int").alias("session_no"))
+    return (t.groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_end")))
+
+
+@register(
     "top_ngrams",
     _SHINGLES_SQL + """
     SELECT shingle,
