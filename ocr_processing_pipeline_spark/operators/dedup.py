@@ -243,12 +243,17 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
 
     ``enforce_unique_keys`` drops duplicate-key rows up front (shingles/
     jaccard_pairs require one row per key or every count is silently
-    wrong). The drop is one shuffle of the input; a pipeline that already
-    ran ``exact_dedup`` (the recommended 100 TB order — collapse exact
-    dups BEFORE the shingle explode) can pass False to skip it.
+    wrong). The survivor is DETERMINISTIC — min content fingerprint per
+    key, not dropDuplicates' partition-order pick — so two runs over the
+    same corpus always dedup identically. One shuffle of the input; a
+    pipeline that already ran ``exact_dedup`` (the recommended 100 TB
+    order — collapse exact dups BEFORE the shingle explode) can pass
+    False to skip it.
     """
     if enforce_unique_keys:
-        df = df.dropDuplicates([key_col])
+        w = Window.partitionBy(key_col).orderBy(fingerprint(F.col(text_col)))
+        df = (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
     # one shingle explode for the whole chain: the signature leg and the
     # verify leg otherwise each re-run it from the corpus scan
     sh = shingles(df, text_col, key_col, n=n).localCheckpoint(eager=False)
@@ -354,6 +359,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     ``max_iter`` hops (sequential template drift) would exit the loop
     un-converged with silently SPLIT components — that case raises
     instead (detected by the same O(1)-row probe the loop already runs).
+    The loop runs up to ``max_iter`` propagation rounds PLUS one
+    confirmation round: a graph whose diameter is exactly ``max_iter``
+    converges on the last round and must not be mistaken for a cap exit.
     """
     e = pairs.select(F.col("key_a").alias("src"),
                      F.col("key_b").alias("dst"))
@@ -366,7 +374,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (edges.select(F.col("src").alias("key")).distinct()
               .withColumn("comp", F.col("key")))
     changed = 1
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):   # +1: the zero-change proof round
         nbr_min = (edges
                    .join(labels.withColumnRenamed("key", "dst"), "dst")
                    .groupBy(F.col("src").alias("key"))

@@ -18,6 +18,17 @@ Scale design (the 100 TB contract):
 - term document-frequencies are a tiny (≤ |query|) broadcast.
 
 BM25 parameters k1=1.2, b=0.75 (Robertson et al., the standard defaults).
+
+localCheckpoint note (applies to every operator here and in dedup.py
+that materializes a shared projection): the checkpointed partitions live
+until the DataFrame's py4j refs are GC'd and ContextCleaner runs — a
+long-lived serving driver should drop references between queries (or
+gc.collect(), as bench.py does). localCheckpoint also truncates lineage
+(executor loss mid-query fails the query instead of recomputing); a
+cluster-grade serving deployment materializes the same projection to a
+TABLE once (the extracted_tables_dir pattern) instead of re-deriving +
+checkpointing it per query — the per-query checkpoint is the right shape
+for one-shot batch jobs, which is what the registry times.
 """
 
 from __future__ import annotations

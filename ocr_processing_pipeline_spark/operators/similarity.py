@@ -132,6 +132,9 @@ def ivf_index(df: DataFrame, vec_col: str, key_col: str,
         # keeps array_min/array_position from duplicating the tree.
         # array_position returns the FIRST index of the min → ties break
         # to the lowest cell, matching the oracle's ORDER BY dist, cell.
+        # NULL/malformed vectors get NULL distances → cell -1, an
+        # explicit quarantine cell no probe ever selects (visible via
+        # cell == -1) rather than a silent drop.
         arrs = [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
         d2 = [F.aggregate(F.zip_with(F.col("vec"), a,
                                      lambda x, y: (x - y) * (x - y)),
@@ -139,9 +142,11 @@ def ivf_index(df: DataFrame, vec_col: str, key_col: str,
               for a in arrs]
         return (base.withColumn("d2s", F.array(*d2))
                 .withColumn("cell",
-                            (F.array_position(
-                                "d2s", F.array_min("d2s")) - 1)
-                            .cast("int"))
+                            F.coalesce(
+                                (F.array_position(
+                                    "d2s", F.array_min("d2s")) - 1)
+                                .cast("int"),
+                                F.lit(-1)))
                 .drop("d2s"))
 
     for _ in range(iters):

@@ -97,19 +97,23 @@ def extract_docs(pages: DataFrame,
     Column pruning: only the five input columns are read; Catalyst pushes
     the projection into the parquet scan.
 
-    Pages whose html payload exceeds ``max_page_bytes`` are quarantined
-    JVM-side (octet_length test in the same projection — still one
-    shuffle-free stage): their bytes are replaced by NULL before the
-    Arrow transfer and the row comes back with
-    failure_code=OVERSIZED_INPUT, empty text. ``max_page_bytes=None``
-    disables the gate.
+    Pages whose html OR pre-text payload exceeds ``max_page_bytes`` are
+    quarantined JVM-side (octet_length test in the same projection —
+    still one shuffle-free stage): the payloads are replaced by NULL
+    before the Arrow transfer and the row comes back with
+    failure_code=OVERSIZED_INPUT, empty text. The text column is gated
+    too because extract_page's pre_text fallback is a real input path —
+    an html-only gate would leave a giant text string a way into the
+    Arrow batch. ``max_page_bytes=None`` disables the gate.
     """
     if max_page_bytes is None:
         pruned = (pages
                   .select("url", "warc_ts", "html", "text", "lang")
                   .withColumn("_oversized", F.lit(False)))
     else:
-        too_big = F.octet_length("html") > F.lit(int(max_page_bytes))
+        limit = F.lit(int(max_page_bytes))
+        too_big = ((F.coalesce(F.octet_length("html"), F.lit(0)) > limit)
+                   | (F.coalesce(F.octet_length("text"), F.lit(0)) > limit))
         pruned = pages.select(
             "url", "warc_ts",
             F.when(F.coalesce(too_big, F.lit(False)),

@@ -86,8 +86,16 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
         os.path.join(gazetteers_dir, "places.parquet"),
         os.path.join(gazetteers_dir, "orgs.parquet"))
 
-    extract_kw = ({"max_page_bytes": max_page_bytes}
-                  if max_page_bytes is not None else {})
+    # max_page_bytes: None (default) -> extract_docs' own 100 MiB
+    # default; 0 -> gate disabled; > 0 -> that threshold. (A plain
+    # pass-through of None would silently re-enable the default against
+    # extract_docs' documented "None disables".)
+    if max_page_bytes is None:
+        extract_kw = {}
+    elif max_page_bytes <= 0:
+        extract_kw = {"max_page_bytes": None}
+    else:
+        extract_kw = {"max_page_bytes": max_page_bytes}
     docs = extract_mod.extract_docs(todo, **extract_kw).withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
     docs_path = os.path.join(out_dir, "docs")
@@ -147,9 +155,10 @@ def main(argv=None):
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--max-page-bytes", type=int, default=None,
-                    help="quarantine pages whose html exceeds this many "
-                         "bytes (failure_code=OVERSIZED_INPUT; default "
-                         "100 MiB, the extract stage's own default)")
+                    help="quarantine pages whose html or text exceeds "
+                         "this many bytes (failure_code=OVERSIZED_INPUT). "
+                         "Omit for the 100 MiB default; pass 0 to disable "
+                         "the gate entirely")
     args = ap.parse_args(argv)
 
     spark = get_spark("extraction_job", cpus=args.cpus)

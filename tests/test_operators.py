@@ -309,3 +309,57 @@ def test_hash_impl_band_collision_equivalence(spark):
             "doc_id", fingerprint(F.col("text"), hash_impl=impl)
             .alias("fp")).collect()}
         assert fps[1] == fps[2] and fps[1] != fps[3] and fps[1] != fps[4]
+
+
+def test_connected_components_converges_at_exact_cap(spark):
+    """diameter == max_iter must converge (the loop runs one extra
+    zero-change proof round), not be mistaken for a cap exit."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        connected_components)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "key_a long, key_b long")
+    comp = {r.key: r.component
+            for r in connected_components(chain, max_iter=5).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_enforce_unique_keys_is_deterministic(spark):
+    """Conflicting rows under one key must dedup to the SAME survivor on
+    every run: min content fingerprint, not partition order."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        fingerprint, minhash_lsh_dedup)
+    from pyspark.sql import functions as F
+    texts = ["zeta eta theta iota kappa lambda mu nu xi omicron",
+             "alpha beta gamma delta epsilon zeta eta theta iota kappa"]
+    rows = ([(1, t) for t in texts]
+            + [(2, "alpha beta gamma delta epsilon zeta eta theta iota "
+                   "kappa extra")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    winner = min(texts, key=lambda t: __import__("hashlib").md5(
+        " ".join(t.lower().split()).encode()).hexdigest())
+    runs = []
+    for _ in range(2):
+        out = minhash_lsh_dedup(df.repartition(4), "text", "doc_id",
+                                n=3, min_jaccard=0.1,
+                                num_hashes=4, band_size=2).collect()
+        runs.append(sorted((r.key_a, r.key_b, r.shared) for r in out))
+    assert runs[0] == runs[1]
+    # survivor check: pairs exist iff the kept text for key 1 is the
+    # md5-min one (which shares 5+ tokens with key 2's text)
+    expect_pair = "alpha beta" in winner
+    assert (len(runs[0]) > 0) == expect_pair
+
+
+def test_ivf_null_vector_lands_in_quarantine_cell(spark):
+    """A null embedding must surface as cell -1 (never probed, but
+    visible), not silently vanish from the index."""
+    from ocr_processing_pipeline_spark.operators.similarity import (
+        ivf_index)
+    rows = [(i, [float(i), float(i + 1)]) for i in range(6)]
+    rows.append((6, None))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, _ = ivf_index(e, "embedding", "vec_id",
+                            n_cells=4, iters=0, dim=2)
+    cells = {r.key: r.cell for r in assigned.collect()}
+    assert cells[6] == -1
+    assert all(c >= 0 for k, c in cells.items() if k != 6)

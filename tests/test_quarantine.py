@@ -66,3 +66,21 @@ def test_gate_disabled_extracts_everything(spark):
     assert all(r.failure_code != FailureCode.OVERSIZED for r in docs)
     g = [r for r in docs if r.url == "https://giant.example/oversized"][0]
     assert "giant page word soup" in g.text
+
+
+def test_oversized_pre_text_quarantined(spark):
+    """The gate must cover the pre-text fallback path too: a giant text
+    payload with no html is exactly as dangerous to the Arrow batch."""
+    rows = make_pages(5)[0]
+    giant = dict(rows[0])
+    giant["url"] = "https://giant.example/pretext"
+    giant["html"] = None
+    giant["text"] = "word soup " * (THRESHOLD // 5)
+    data = [{k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")}
+            for r in rows + [giant]]
+    pages = spark.createDataFrame(data, PAGES_SCHEMA)
+    docs = {r.url: r for r in
+            extract_docs(pages, max_page_bytes=THRESHOLD).collect()}
+    g = docs["https://giant.example/pretext"]
+    assert g.failure_code == FailureCode.OVERSIZED
+    assert g.text == ""
