@@ -45,7 +45,10 @@ def main() -> None:
 
     # best-of-2 per query: this shared host swings 2-3x run-to-run
     # (CLAUDE.md); min-of-2 within one JVM is the stable signal
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-3: observed sustained multi-minute host-contention windows
+    # that inflate a whole alphabetical block across BOTH of 2 runs
+    # (regex_log_parse 0.18s -> 2.4s); a third sample usually escapes it
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     import gc
     for name, q in sorted(QUERIES.items()):
