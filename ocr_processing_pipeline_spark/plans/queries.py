@@ -2192,6 +2192,45 @@ def media_features(spark, sf_dir):
         .alias("features_csv"))
 
 
+# Composed end-to-end curation pipeline: the oracle embeds the already-
+# verified dedup_components (recursive-CTE transitive closure over the
+# MinHash->LSH->verify pairs) and doc_quality_gopher SQL as CTE
+# subqueries, so the composition is gated by construction wherever the
+# pieces are.
+def _curated_corpus_sql() -> str:
+    return f"""
+    WITH comp AS ({QUERIES["dedup_components"].sql}),
+    qual AS ({QUERIES["doc_quality_gopher"].sql})
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN qual q ON q.doc_id = d.doc_id AND q.keep
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.doc_id = d.doc_id
+                        AND c.canonical_id <> d.doc_id)
+    """
+
+
+@register(
+    "curated_corpus",
+    _curated_corpus_sql(),
+    doc="the END-TO-END curation pipeline as one query: near-dup "
+        "canonicalization (MinHash->LSH->verified Jaccard>=0.5 -> "
+        "connected components, keep the canonical doc per cluster) "
+        "composed with the Gopher quality gate — what a training-data "
+        "run actually ships. Both stages reuse the registered builders/"
+        "SQL, so the composition inherits their oracle gates")
+def curated_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    comp = QUERIES["dedup_components"].fn(spark, sf_dir)
+    dupes = (comp.filter(F.col("doc_id") != F.col("canonical_id"))
+             .select("doc_id"))
+    qual = (QUERIES["doc_quality_gopher"].fn(spark, sf_dir)
+            .filter(F.col("keep")).select("doc_id"))
+    return (d.join(dupes, "doc_id", "left_anti")
+            .join(qual, "doc_id", "left_semi")
+            .select("doc_id", "lang", "source"))
+
+
 def queries() -> dict:
     return {name: q.fn for name, q in QUERIES.items()}
 
