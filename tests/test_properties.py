@@ -202,3 +202,37 @@ def test_connected_components_match_union_find(spark, pairs):
     got = {r.key: r.component
            for r in connected_components(df).collect()}
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="ab c\t\n", min_size=0, max_size=24),
+                min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=5))
+def test_shingles_match_python_reference(spark, texts, n):
+    """The zip-shift shingle builder must equal the obvious Python
+    n-gram reference on arbitrary whitespace-ridden text: distinct word
+    n-grams of normalized text, plus the single short-tail gram for
+    docs with fewer than n tokens."""
+    from ocr_processing_pipeline_spark.operators.dedup import shingles
+
+    def ref(text):
+        # mirror normalize_text exactly: trim SPACES (not all ws), lower,
+        # collapse \s+ to one space, split on single space KEEPING
+        # empties — so whitespace-only input yields ['',''] and the
+        # engine's (long-standing, oracle-mirrored) ' ' gram
+        norm = re.sub(r"\s+", " ", text.strip(" ").lower())
+        toks = norm.split(" ")
+        if len(toks) < n:
+            grams = {" ".join(toks)}
+        else:
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+        return {g for g in grams if g}
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in shingles(df, "text", "doc_id", n=n).collect():
+        got.setdefault(r.key, set()).add(r.shingle)
+    expect = {i: ref(t) for i, t in rows if ref(t)}
+    assert got == expect
