@@ -1041,6 +1041,62 @@ def pack_sequences(spark, sf_dir):
         .cast("int").alias("bin"))
 
 
+@register(
+    "embedding_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    m AS (
+      SELECT vec_id, x, list_min(x) AS mn, list_max(x) AS mx,
+             CASE WHEN list_max(x) > list_min(x)
+                  THEN list_max(x) - list_min(x) ELSE 1.0 END AS scale
+      FROM v),
+    r AS (
+      SELECT vec_id, mn, mx, x,
+             list_transform(
+               x, e -> mn + floor((e - mn) / scale * 255) * scale / 255)
+               AS recon
+      FROM m)
+    SELECT vec_id,
+           ROUND(mn, 5) AS vmin,
+           ROUND(mx, 5) AS vmax,
+           ROUND(sqrt(list_sum(list_transform(
+               generate_series(1, len(x)),
+               i -> (x[i] - recon[i]) * (x[i] - recon[i])))), 5)
+               AS quant_err
+    FROM r
+    """,
+    doc="scalar int8 embedding quantization (the storage-compression "
+        "half of IVF+SQ ANN at 10^12 vectors: 4 bytes -> 1 byte per "
+        "dim): per-vector min/max scaling, floor-rounded 8-bit codes, "
+        "reconstruction + L2 error — all floor arithmetic, so the codes "
+        "are bit-identical across engines (no HALF_UP/HALF_EVEN "
+        "divergence); narrow per-row pass, no shuffle")
+def embedding_quantize(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    t = e.select("vec_id", v.alias("x"))
+    t = t.withColumn("mn", F.array_min("x")) \
+         .withColumn("mx", F.array_max("x"))
+    t = t.withColumn(
+        "scale",
+        F.when(F.col("mx") > F.col("mn"),
+               F.col("mx") - F.col("mn")).otherwise(F.lit(1.0)))
+    recon = F.transform(
+        "x",
+        lambda e_: F.col("mn")
+        + F.floor((e_ - F.col("mn")) / F.col("scale") * 255)
+        * F.col("scale") / 255)
+    t = t.withColumn("recon", recon)
+    err = F.round(F.sqrt(F.aggregate(
+        F.zip_with("x", "recon", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, d: acc + d)), 5)
+    return t.select("vec_id",
+                    F.round("mn", 5).alias("vmin"),
+                    F.round("mx", 5).alias("vmax"),
+                    err.alias("quant_err"))
+
+
 # =============================================================================
 # Similarity search (embeddings table)
 # =============================================================================
