@@ -86,16 +86,22 @@ def shingles(df: DataFrame, text_col: str, key_col: str,
     row per key (run exact_dedup first if the corpus can carry duplicate
     keys).
     """
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = gram_array(F.split(normalize_text(F.col(text_col)), " "), n)
+    return (df.select(F.col(key_col).alias("key"),
+                      F.explode(F.array_distinct(grams)).alias("shingle"))
+            .filter(F.length("shingle") > 0))
+
+
+def gram_array(toks, n: int):
+    """Array column of word n-grams over a token-array column (zip-shift;
+    see shingles' docstring for why not transform-over-offsets). Length
+    is size-n+1 for docs with ≥n tokens, else 1 short-tail gram."""
     sz = F.size(toks)
     grams = toks
     for k in range(1, n):
         grams = F.zip_with(grams, F.slice(toks, k + 1, sz),
                            lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(1)))
-    return (df.select(F.col(key_col).alias("key"),
-                      F.explode(F.array_distinct(grams)).alias("shingle"))
-            .filter(F.length("shingle") > 0))
+    return F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(1)))
 
 
 def minhash_signatures(sh: DataFrame,
@@ -406,7 +412,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select("key", F.col("comp").alias("component"))
 
 
-__all__ = ["exact_dedup", "exact_dup_groups", "shingles",
+__all__ = ["exact_dedup", "exact_dup_groups", "shingles", "gram_array",
            "minhash_signatures", "lsh_candidate_pairs", "jaccard_pairs",
            "minhash_lsh_dedup", "simhash", "simhash_candidates",
            "connected_components", "fingerprint", "normalize_text"]

@@ -833,6 +833,89 @@ def simhash_near_dup_pairs(spark, sf_dir):
 # =============================================================================
 
 @register(
+    "doc_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(t) - 1, 1)),
+               i -> array_to_string(t[i:i+1], ' ')) AS g2,
+             list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' ')) AS g3
+      FROM w)
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 5)
+               AS dup_2gram_frac,
+           ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 5)
+               AS dup_3gram_frac
+    FROM g
+    """,
+    doc="Gopher-style repetition ratios (Rae et al. 2021 §A1.1): per-doc "
+        "duplicate 2-gram and 3-gram fractions — the n-gram repetition "
+        "signals next to doc_quality_gopher's duplicate-word fraction; "
+        "templated / keyword-stuffed pages score high. Narrow per-row "
+        "array math over the shared zip-shift gram builder, no shuffle")
+def doc_repetition(spark, sf_dir):
+    from ..operators.dedup import gram_array, normalize_text
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+
+    def dup_frac(n):
+        g = gram_array(toks, n)
+        return F.round(
+            1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g), 5)
+
+    return d.select("doc_id",
+                    dup_frac(2).alias("dup_2gram_frac"),
+                    dup_frac(3).alias("dup_3gram_frac"))
+
+
+@register(
+    "c4_sentence_filter",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             regexp_split_to_array(text, '\\.\\s+') AS sents
+      FROM documents),
+    k AS (
+      SELECT doc_id, sents,
+             list_filter(sents,
+               x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 5
+                    AND length(trim(x)) > 0) AS kept
+      FROM s)
+    SELECT doc_id,
+           CAST(len(sents) AS INT) AS n_sentences,
+           CAST(len(kept) AS INT) AS n_kept,
+           array_to_string(kept, '. ') AS clean_text
+    FROM k
+    """,
+    doc="C4-style sub-document filtering (Raffel et al. 2020 §2.2): drop "
+        "sentences with fewer than 5 words, reassemble the survivors — "
+        "the filter-then-rebuild granularity BELOW whole-document "
+        "quality gates (a doc keeps its good sentences instead of "
+        "dying whole); per-row array ops, no shuffle, no explode")
+def c4_sentence_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sents = F.split(F.col("text"), r"\.\s+")
+    kept = F.filter(
+        sents,
+        lambda x: (F.size(F.split(F.trim(x), r"\s+")) >= 5)
+        & (F.length(F.trim(x)) > 0))
+    return d.select(
+        "doc_id",
+        F.size(sents).cast("int").alias("n_sentences"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(kept, ". ").alias("clean_text"))
+
+
+@register(
     "sessionize_clicks",
     """
     WITH s AS (
