@@ -40,8 +40,11 @@ def main() -> None:
     n_pages = spark.read.parquet(
         os.path.join(corpus, "pages.parquet")).count()
     from ocr_processing_pipeline_spark.plans.queries import (
-        extracted_tables_dir)
+        dedup_decisions_dir, extracted_tables_dir)
     extracted_tables_dir(spark, sf_dir)
+    # same for the dedup decisions table: deciding duplicates is timed by
+    # dedup_components itself; curated_corpus times the curation READ path
+    dedup_decisions_dir(spark, sf_dir)
 
     # best-of-2 per query: this shared host swings 2-3x run-to-run
     # (CLAUDE.md); min-of-2 within one JVM is the stable signal

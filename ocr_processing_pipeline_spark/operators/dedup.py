@@ -43,7 +43,14 @@ def fingerprint(col, hash_impl: str = "md5"):
     ``xxhash64`` is the production form — one 64-bit JVM hash instead of
     a 128-bit cryptographic digest, Spark-only. Downstream only ever
     groups/joins on the value, so the two are interchangeable semantically
-    (tests assert identical dedup decisions on planted duplicates)."""
+    (tests assert identical dedup decisions on planted duplicates).
+
+    Collision bound: 64 bits give ~n²/2^65 expected birthday collisions —
+    negligible below ~10^8 docs but ~10^4 silently-merged pairs at 10^12
+    docs. For exact dedup at that scale keep md5 (128-bit), or pair the
+    xxhash64 value with length(text) as a composite key; use xxhash64
+    alone only for grouping where a rare false merge is tolerable
+    (e.g. MinHash lanes, salting)."""
     if hash_impl == "xxhash64":
         return F.xxhash64(normalize_text(col))
     return F.md5(normalize_text(col))
@@ -173,7 +180,8 @@ def lsh_candidate_pairs(sig: DataFrame,
 
 def jaccard_pairs(sh: DataFrame, min_jaccard: float,
                   candidates: DataFrame | None = None,
-                  max_doc_freq: int | None = None) -> DataFrame:
+                  max_doc_freq: int | None = None,
+                  checkpoint: bool = True) -> DataFrame:
     """Verified n-gram Jaccard over an inverted-index join.
 
     With ``candidates`` (from LSH) the join is restricted to candidate
@@ -199,6 +207,11 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
     shingles ≈ 3e-2 per corpus... per PAIR it is 2^-64; the expected
     effect on any count is negligible and the DuckDB oracle run stays
     green on the test corpora).
+
+    ``checkpoint=False`` opts out of the shared-index localCheckpoints
+    for serving / long-lived drivers (see operators/search.py module
+    docstring for the lineage-truncation / GC-lifetime trade); the
+    one-shot batch default keeps the single-derivation plan.
     """
     # materialize the hashed inverted index ONCE, BEFORE any consumer:
     # it feeds the df-prune aggregation, the sizes leg, and BOTH sides
@@ -206,8 +219,9 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
     # explode per leg (the r2 9.0 s regression was exactly that;
     # checkpointed it is ~5 s at sf0.1, under r1's 6.0 s). Two longs per
     # row — far smaller than the corpus it indexes.
-    sh = (sh.select("key", F.xxhash64("shingle").alias("shingle"))
-          .localCheckpoint(eager=False))
+    sh = sh.select("key", F.xxhash64("shingle").alias("shingle"))
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=False)
     restricted = False
     if max_doc_freq is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -223,7 +237,7 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
                      .distinct())
         sh = sh.join(cand_keys, "key", "left_semi")
         restricted = True
-    if restricted:
+    if restricted and checkpoint:
         # cut the restriction joins too, or each of the three downstream
         # legs replays them against the first checkpoint
         sh = sh.localCheckpoint(eager=False)

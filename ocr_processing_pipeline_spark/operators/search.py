@@ -49,7 +49,8 @@ def _tok_array(text_col):
 
 
 def bm25_scores(df: DataFrame, text_col: str, key_col: str,
-                query_terms: list[str], round_to: int = 4) -> DataFrame:
+                query_terms: list[str], round_to: int = 4,
+                checkpoint: bool = True) -> DataFrame:
     """(key, bm25) for every doc containing ≥1 query term. Single corpus
     pass; see module docstring for the scale contract.
 
@@ -59,13 +60,19 @@ def bm25_scores(df: DataFrame, text_col: str, key_col: str,
     FileScan — 3 full corpus reads for one query. Materializing the
     projection (a few bytes per doc — no text) makes the physical plan
     scan the corpus exactly ONCE; tests/test_plans.py counts the scans.
+
+    ``checkpoint=False`` opts out for serving / long-lived drivers that
+    would rather re-scan than truncate lineage or pin executor blocks
+    until Python GC (module docstring); the one-shot batch default keeps
+    the single-scan plan.
     """
     terms = [t.lower() for t in query_terms]
     toks = _tok_array(text_col)
     base = df.select(F.col(key_col).alias("key"),
                      F.size(toks).alias("doc_len"),
                      F.filter(toks, lambda t: t.isin(terms)).alias("hits"))
-    base = base.localCheckpoint(eager=False)
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.when(F.col("doc_len") > 0, F.col("doc_len")))

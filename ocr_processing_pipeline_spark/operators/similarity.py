@@ -63,10 +63,13 @@ def _hyperplane(dim: int, bit: int) -> list:
 
 
 def lsh_signature(df: DataFrame, vec_col: str, key_col: str,
-                  n_bits: int = 8, dim: int | None = None) -> DataFrame:
-    """Random-hyperplane signature column 'sig' (int bucket id)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+                  n_bits: int = 8, *, dim: int) -> DataFrame:
+    """Random-hyperplane signature column 'sig' (int bucket id).
+
+    ``dim`` is required: deriving it from ``df.first()`` would run a
+    driver-side job inside plan construction (and fail on an empty
+    table) — callers know their embedding width.
+    """
     sig = F.lit(0)
     for b in range(n_bits):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, b)])
@@ -105,7 +108,7 @@ def ann_topk(df: DataFrame, vec_col: str, key_col: str, query_vec: list,
 
 def ivf_index(df: DataFrame, vec_col: str, key_col: str,
               n_cells: int = 16, iters: int = 2,
-              dim: int | None = None) -> tuple:
+              *, dim: int) -> tuple:
     """IVF coarse quantizer: deterministic k-means (init = lowest keys),
     Lloyd iterations as DataFrame ops, returns (assigned_df, centroids).
 
@@ -114,9 +117,10 @@ def ivf_index(df: DataFrame, vec_col: str, key_col: str,
     broadcast-assign + per-dim avg aggregates (map-side partials);
     nothing quadratic. At 10^12 rows you train on a sample and assign
     the full table in one narrow pass — assignment here IS that pass.
+
+    ``dim`` is required (no ``.first()`` probe): zero driver actions
+    beyond the O(k·dim) centroid collects inherent to Lloyd training.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     base = df.select(F.col(key_col).alias("key"),
                      F.transform(F.col(vec_col),
                                  lambda x: x.cast("double")).alias("vec"))
@@ -185,16 +189,17 @@ def ivf_topk(df: DataFrame, vec_col: str, key_col: str, query_vec: list,
 
 
 def label_centroids(df: DataFrame, vec_col: str, label_col: str,
-                    round_to: int = 5, dim: int | None = None) -> DataFrame:
+                    round_to: int = 5, *, dim: int) -> DataFrame:
     """Element-wise mean vector per label.
 
     Scale path: one avg aggregate per dimension — map-side partial
     aggregation, ONE shuffle of (n_labels × dim) partials. The naive
     posexplode formulation shuffles n_rows × dim exploded rows (64× the
     data at dim=64); never do that at 10^12 rows.
+
+    ``dim`` is required: a ``.first()`` probe would be a driver action
+    inside plan construction.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     aggs = [F.round(F.avg(F.col(vec_col)[i].cast("double")), round_to)
             .alias(f"m{i}") for i in range(dim)]
     return (df.groupBy(F.col(label_col).alias("label"))

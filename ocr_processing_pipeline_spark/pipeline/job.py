@@ -154,11 +154,20 @@ def main(argv=None):
     ap.add_argument("--n-buckets", type=int, default=DEFAULT_N_BUCKETS)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
-    ap.add_argument("--max-page-bytes", type=int, default=None,
+    def _non_negative_bytes(s: str) -> int:
+        v = int(s)
+        if v < 0:
+            # a typo'd negative must error, not silently disable the gate
+            raise argparse.ArgumentTypeError(
+                "--max-page-bytes must be >= 0 (0 disables the gate)")
+        return v
+
+    ap.add_argument("--max-page-bytes", type=_non_negative_bytes,
+                    default=None,
                     help="quarantine pages whose html or text exceeds "
                          "this many bytes (failure_code=OVERSIZED_INPUT). "
                          "Omit for the 100 MiB default; pass 0 to disable "
-                         "the gate entirely")
+                         "the gate entirely (negative values are rejected)")
     args = ap.parse_args(argv)
 
     spark = get_spark("extraction_job", cpus=args.cpus)

@@ -130,7 +130,8 @@ def test_ivf_topk_recall_and_candidate_fraction(spark):
     assert recall >= 0.4     # near-uniform random vectors: hardest case
     assert approx[0] == 7    # query's own vector is in its own cell
     # the index actually partitions the corpus
-    assigned, cents = ivf_index(e, "embedding", "vec_id", n_cells=8)
+    assigned, cents = ivf_index(e, "embedding", "vec_id", n_cells=8,
+                                dim=len(qvec))
     sizes = assigned.groupBy("cell").count().collect()
     assert len(sizes) == 8
     assert max(r["count"] for r in sizes) < e.count()  # no single blob
@@ -138,8 +139,8 @@ def test_ivf_topk_recall_and_candidate_fraction(spark):
 
 def test_label_centroids_shape(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    cents = label_centroids(e, "embedding", "label").collect()
     dim = len(e.first()["embedding"])
+    cents = label_centroids(e, "embedding", "label", dim=dim).collect()
     labels = {r.label for r in e.select("label").distinct().collect()}
     assert {r.label for r in cents} == labels
     for r in cents:

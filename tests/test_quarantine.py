@@ -84,3 +84,16 @@ def test_oversized_pre_text_quarantined(spark):
     g = docs["https://giant.example/pretext"]
     assert g.failure_code == FailureCode.OVERSIZED
     assert g.text == ""
+
+
+def test_cli_rejects_negative_max_page_bytes(capsys):
+    """A typo'd negative threshold must error, not silently disable the
+    gate (only the documented 0 sentinel disables it)."""
+    import pytest as _pytest
+
+    from ocr_processing_pipeline_spark.pipeline.job import main
+    with _pytest.raises(SystemExit):
+        main(["--pages", "x", "--gazetteers-dir", "y", "--out", "z",
+              "--max-page-bytes", "-1"])
+    err = capsys.readouterr().err
+    assert "must be >= 0" in err
