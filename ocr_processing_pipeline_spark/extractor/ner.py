@@ -28,7 +28,8 @@ from __future__ import annotations
 from datetime import date, timedelta
 
 from ..functions.fuzzy import (FUZZ_SINGLE_THRESHOLD, FUZZ_THRESHOLD,
-                               full_process, ratio_presorted, sort_tokens)
+                               char_bag, full_process, ratio_presorted,
+                               ratio_presorted_bagged, sort_tokens)
 
 DATE_WINDOW_DAYS = 7300  # apertus_ner_chunk.py:186,195
 
@@ -64,41 +65,47 @@ class GazetteerIndex:
             for key in ("name_de", "name_fr", "name_it"):
                 self._add(o.get(key, ""), "ORG")
         # blocked candidate index for linking: lowercased last name token.
-        # Entries carry the PRE-SORTED normalized surface forms so the
-        # fuzzy stage never re-normalizes a gazetteer name per comparison.
+        # Entries carry the PRE-SORTED normalized surface forms AND their
+        # character bags so the fuzzy stage never re-normalizes (or
+        # re-counts) a gazetteer name per comparison — the bag feeds
+        # ratio_presorted_bagged's decision-exact prune.
         self.person_block: dict[str, list[tuple]] = {}
         for p in persons:
             toks = full_process(p.get("name", "")).split()
             if toks:
                 # years parsed ONCE at index build (apertus_ner_chunk.py
                 # :185,194 split('.')[0] semantics preserved in _parse_year)
+                name_sorted = sort_tokens(p.get("name", ""))
+                lemma_sorted = sort_tokens(p.get("lemma", ""))
                 self.person_block.setdefault(toks[-1], []).append(
-                    (p, sort_tokens(p.get("name", "")),
-                     sort_tokens(p.get("lemma", "")),
+                    (p, name_sorted, lemma_sorted,
                      _parse_year(p.get("birthyear")),
-                     _parse_year(p.get("deathyear"))))
+                     _parse_year(p.get("deathyear")),
+                     char_bag(name_sorted), char_bag(lemma_sorted)))
         self.place_block: dict[str, list[tuple]] = {}
         for pl in places:
             forms = tuple(sort_tokens(pl.get(k) or "")
                           for k in ("name_de", "name_fr", "name_it"))
+            bags = tuple(char_bag(f) for f in forms)
             seen_toks = set()
             for k in ("name_de", "name_fr", "name_it"):
                 toks = full_process(pl.get(k, "")).split()
                 if toks and toks[-1] not in seen_toks:
                     seen_toks.add(toks[-1])
                     self.place_block.setdefault(toks[-1], []).append(
-                        (pl, forms))
+                        (pl, forms, bags))
         self.org_block: dict[str, list[tuple]] = {}
         for o in orgs:
             forms = tuple(sort_tokens(o.get(k) or "")
                           for k in ("name_de", "name_fr", "name_it"))
+            bags = tuple(char_bag(f) for f in forms)
             seen_toks = set()
             for k in ("name_de", "name_fr", "name_it"):
                 toks = full_process(o.get(k, "")).split()
                 if toks and toks[-1] not in seen_toks:
                     seen_toks.add(toks[-1])
                     self.org_block.setdefault(toks[-1], []).append(
-                        (o, forms))
+                        (o, forms, bags))
 
     def _add(self, surface: str, etype: str):
         toks = full_process(surface).split()
@@ -113,11 +120,24 @@ class GazetteerIndex:
     def scan(self, text: str) -> list[dict]:
         """Longest-match scan; returns mentions with char spans."""
         from .textproc import token_spans
-        toks = token_spans(text)   # finditer: offsets without re-search
-        # fast-path normalization: single tokens are alnum in the common
-        # case, where full_process == lower() (regex only for the rest)
-        norm = [t.lower() if t.isalnum() else full_process(t)
-                for t, _, _ in toks]
+        # lowercase ONCE in C instead of per-token: when lower() preserves
+        # the string length every char mapped 1:1, so token spans in the
+        # lowered text are identical to spans in the original (and \w/\s
+        # classes are case-stable), and tokens come out pre-lowered. The
+        # rare length-changing case (e.g. 'İ' → 2 code points) falls back
+        # to the exact per-token path. Mention text below always slices
+        # the ORIGINAL text by span, so output bytes are unchanged.
+        low = text.lower()
+        if len(low) == len(text):
+            toks = token_spans(low)
+            norm = [t if t.isalnum() else full_process(t)
+                    for t, _, _ in toks]
+        else:
+            toks = token_spans(text)   # finditer: offsets, no re-search
+            # fast-path normalization: single tokens are alnum in the
+            # common case, where full_process == lower()
+            norm = [t.lower() if t.isalnum() else full_process(t)
+                    for t, _, _ in toks]
         mentions = []
         i = 0
         n = len(toks)
@@ -243,16 +263,20 @@ def _fuzzy_candidates(mention: str, entity_type: str,
         return None
     block_key = toks[-1]
     m_sorted = " ".join(sorted(toks))
+    m_bag = char_bag(m_sorted)
     if entity_type == "PER":
         scored = []
         for entry in index.person_block.get(block_key, []):
-            c, name_sorted, lemma_sorted, birth, death = entry
-            score = ratio_presorted(m_sorted, name_sorted,
-                                    min_score=FUZZ_THRESHOLD)
+            (c, name_sorted, lemma_sorted, birth, death,
+             name_bag, lemma_bag) = entry
+            score = ratio_presorted_bagged(m_sorted, name_sorted,
+                                           m_bag, name_bag,
+                                           min_score=FUZZ_THRESHOLD)
             if len(toks) == 1:
                 # single last name: compare against the lemma instead
-                score = max(score, ratio_presorted(
-                    m_sorted, lemma_sorted, min_score=FUZZ_THRESHOLD))
+                score = max(score, ratio_presorted_bagged(
+                    m_sorted, lemma_sorted, m_bag, lemma_bag,
+                    min_score=FUZZ_THRESHOLD))
             if score < FUZZ_THRESHOLD:
                 continue
             if not str(c.get("url", "")).startswith(PERSON_URL_PREFIX):
@@ -260,11 +284,11 @@ def _fuzzy_candidates(mention: str, entity_type: str,
             scored.append((score, c, birth, death))
         return ("hasSubject", scored)
     if entity_type == "LOC":
-        cands = _multiname_scored(m_sorted, index.place_block.get(
+        cands = _multiname_scored(m_sorted, m_bag, index.place_block.get(
             block_key, []), PLACE_URL_PREFIX)
         return ("hasPlace", cands)
     if entity_type == "ORG":
-        cands = _multiname_scored(m_sorted, index.org_block.get(
+        cands = _multiname_scored(m_sorted, m_bag, index.org_block.get(
             block_key, []), ORG_URL_PREFIX)
         return ("hasSubject", cands)
     return None
@@ -346,13 +370,13 @@ def link_mentions(mentions: list[dict], index: GazetteerIndex,
     return edges
 
 
-def _multiname_scored(m_sorted: str, cands: list[tuple],
+def _multiname_scored(m_sorted: str, m_bag: dict, cands: list[tuple],
                       url_prefix: str) -> list:
     scored = []
-    for c, forms in cands:
-        score = max(ratio_presorted(m_sorted, f,
-                                    min_score=FUZZ_THRESHOLD)
-                    for f in forms)
+    for c, forms, bags in cands:
+        score = max(ratio_presorted_bagged(m_sorted, f, m_bag, b,
+                                           min_score=FUZZ_THRESHOLD)
+                    for f, b in zip(forms, bags))
         if score < FUZZ_THRESHOLD:
             continue
         if not str(c.get("url", "")).startswith(url_prefix):

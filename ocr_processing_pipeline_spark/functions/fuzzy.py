@@ -69,9 +69,49 @@ def ratio_presorted(a_sorted: str, b_sorted: str,
     return int(round(200.0 * matches / (la + lb)))
 
 
+def char_bag(s: str) -> dict:
+    """Character multiset of ``s`` as a plain dict (precomputable)."""
+    d: dict = {}
+    for ch in s:
+        d[ch] = d.get(ch, 0) + 1
+    return d
+
+
+def ratio_presorted_bagged(a_sorted: str, b_sorted: str,
+                           a_bag: dict, b_bag: dict,
+                           min_score: int = 0) -> int:
+    """``ratio_presorted`` with one more decision-exact prune: matched
+    characters form an injective pairing, so matches ≤ the character
+    multiset intersection — if even that upper bound rounds below
+    ``min_score``, SequenceMatcher cannot reach the threshold and the
+    call returns 0 without running it (call sites discard sub-threshold
+    scores, so 0 is decision-equivalent). The bags are precomputable at
+    index build, which is what makes this cheaper than the matcher."""
+    if a_sorted == b_sorted:
+        return 100
+    la, lb = len(a_sorted), len(b_sorted)
+    if not la or not lb:
+        return 0
+    denom = la + lb
+    if int(round(200.0 * (la if la < lb else lb) / denom)) < min_score:
+        return 0
+    small, big = (a_bag, b_bag) if la < lb else (b_bag, a_bag)
+    inter = 0
+    for ch, c in small.items():
+        oc = big.get(ch)
+        if oc:
+            inter += c if c <= oc else oc
+    if int(round(200.0 * inter / denom)) < min_score:
+        return 0
+    m = SequenceMatcher(None, a_sorted, b_sorted, autojunk=False)
+    matches = sum(tr.size for tr in m.get_matching_blocks())
+    return int(round(200.0 * matches / denom))
+
+
 def token_sort_ratio(a: str, b: str) -> int:
     return ratio_presorted(sort_tokens(a), sort_tokens(b))
 
 
 __all__ = ["ratio", "token_sort_ratio", "full_process", "sort_tokens",
-           "ratio_presorted", "FUZZ_THRESHOLD", "FUZZ_SINGLE_THRESHOLD"]
+           "ratio_presorted", "ratio_presorted_bagged", "char_bag",
+           "FUZZ_THRESHOLD", "FUZZ_SINGLE_THRESHOLD"]

@@ -38,8 +38,21 @@ EDGES_SCHEMA = (
 
 _INDEX_CACHE: dict = {}
 
+# linking decisions are pure in (mention, entity_type) given an index, so
+# the candidate memo lives for the WORKER lifetime next to the trie
+# singleton instead of per task: with 32 input splits a per-task memo
+# re-scores the corpus's distinct mentions once per task (Zipfian heads
+# repeat in every split), which multiplied the fuzzy work ~16x at sf0.1.
+# Cleared together with the index when the gazetteer broadcast changes;
+# size-capped as a leak guard for unbounded production vocabularies.
+_MEMO_MAX_ENTRIES = 1_000_000
+
 
 def _get_index(bc):
+    return _get_index_and_memo(bc)[0]
+
+
+def _get_index_and_memo(bc):
     # key on the uuid token shipped INSIDE the broadcast value: id(bc) can
     # be reused by a different broadcast after GC in a long-lived python
     # worker, which would serve a stale trie built from other gazetteers
@@ -48,13 +61,16 @@ def _get_index(bc):
         key, persons, places, orgs = value
     else:  # legacy 3-tuple broadcasts (no token): fall back to identity
         key, (persons, places, orgs) = id(bc), value
-    idx = _INDEX_CACHE.get(key)
-    if idx is None:
+    entry = _INDEX_CACHE.get(key)
+    if entry is None:
         from ..extractor.ner import GazetteerIndex
-        idx = GazetteerIndex(persons, places, orgs)
+        entry = (GazetteerIndex(persons, places, orgs), {})
         _INDEX_CACHE.clear()
-        _INDEX_CACHE[key] = idx
-    return idx
+        _INDEX_CACHE[key] = entry
+    idx, memo = entry
+    if len(memo) > _MEMO_MAX_ENTRIES:
+        memo.clear()
+    return idx, memo
 
 
 def load_gazetteers(spark: SparkSession, persons_path: str,
@@ -99,11 +115,11 @@ def link_entities(chunks: DataFrame, gaz_bc) -> DataFrame:
     """chunks → edges, one Arrow pass (scan + link fused, no shuffle)."""
     def link_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extractor.ner import link_mentions
-        idx = _get_index(gaz_bc)
-        # per-task memo: mention frequency is Zipfian, so most link
-        # decisions repeat; the cache turns O(chunks × fuzz) into
-        # O(distinct mentions × fuzz)
-        memo: dict = {}
+        # worker-lifetime memo (see _get_index_and_memo): mention
+        # frequency is Zipfian, so most link decisions repeat; the cache
+        # turns O(chunks × fuzz) into O(distinct mentions × fuzz) — per
+        # WORKER, not per task
+        idx, memo = _get_index_and_memo(gaz_bc)
         for pdf in batches:
             rows = []
             for doc_id, url, chunk_id, content, warc_ts in zip(
