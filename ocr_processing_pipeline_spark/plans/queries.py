@@ -1025,6 +1025,59 @@ def sliding_window_counts(spark, sf_dir):
 
 
 @register(
+    "doc_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> len(x) > 0)) AS tok
+      FROM documents),
+    dtf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2),
+    freq AS (SELECT tok, sum(tf) AS cnt FROM dtf GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+    SELECT d.doc_id,
+           round(sum(d.tf * ln(f.cnt / tot.total)) / sum(d.tf), 5)
+               AS unigram_logprob,
+           CAST(sum(d.tf) AS BIGINT) AS n_tokens
+    FROM dtf d JOIN freq f USING (tok), tot
+    GROUP BY d.doc_id
+    """,
+    doc="corpus-LM quality score (the inference-free analogue of CCNet's "
+        "LM-perplexity filter): mean unigram log-probability per doc "
+        "under the corpus's own unigram distribution — low scores flag "
+        "gibberish/rare-token soup, high scores flag repetitive "
+        "boilerplate. Scale shape: per-doc term counts FIRST (map-side "
+        "combinable; join rows = distinct (doc, term), not tokens), "
+        "vocabulary counts derived from the same checkpointed projection "
+        "(one explode, not three), totals broadcast as a single row — "
+        "the whole plan is two hash aggregates + one equality join, no "
+        "driver actions")
+def doc_unigram_logprob(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                 r"\s+", " "), " "),
+        lambda t: F.length(t) > 0)
+    dtf = (d.select("doc_id", F.explode(toks).alias("tok"))
+           .groupBy("doc_id", "tok")
+           .agg(F.count(F.lit(1)).alias("tf"))
+           # shared by the vocabulary leg AND the scoring join — without
+           # the checkpoint Catalyst re-runs the explode per leg
+           .localCheckpoint(eager=False))
+    freq = dtf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    return (dtf.join(freq, "tok")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("tf")
+                               * F.log(F.col("cnt") / F.col("total")))
+                         / F.sum("tf"), 5).alias("unigram_logprob"),
+                 F.sum("tf").cast("long").alias("n_tokens")))
+
+
+@register(
     "top_ngrams",
     _SHINGLES_SQL + """
     SELECT shingle,
@@ -2489,6 +2542,7 @@ _DRIVER_PRIORITY = [
     # new in round 4
     "windowed_event_counts",
     "sliding_window_counts",
+    "doc_unigram_logprob",
     # last sampled in r1
     "merge_upsert_orders",
     "embedding_near_dup_by_label",
