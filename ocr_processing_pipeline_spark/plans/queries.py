@@ -919,6 +919,121 @@ def c4_sentence_filter(spark, sf_dir):
         F.array_join(kept, ". ").alias("clean_text"))
 
 
+# Cross-document line dedup needs repeated lines to remove; the synthetic
+# documents are single-sentence, so (exactly like near_dup_jaccard_pruned)
+# a per-source boilerplate footer line is appended IDENTICALLY on both
+# sides — 25 docs per source at sf0.01 share it, so it exceeds the
+# distinct-doc cap and is dropped, while body lines survive.
+
+@register(
+    "line_dedup_across_docs",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || '. impressum kontakt ' || source
+                  || ' alle rechte vorbehalten' AS text
+      FROM documents),
+    s AS (
+      SELECT doc_id, g.i AS pos, sents[g.i] AS sent,
+             lower(trim(sents[g.i])) AS norm
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') AS sents
+            FROM aug),
+           LATERAL unnest(generate_series(1, len(sents))) AS g(i)),
+    freq AS (SELECT norm, count(DISTINCT doc_id) AS df
+             FROM s GROUP BY norm),
+    kept AS (SELECT s.doc_id, s.pos, s.sent
+             FROM s JOIN freq USING (norm) WHERE freq.df <= 5),
+    tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n_lines
+            FROM s GROUP BY doc_id),
+    ka AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                  string_agg(sent, '. ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines,
+           COALESCE(ka.n_kept, 0) AS n_kept,
+           COALESCE(ka.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN ka USING (doc_id)
+    """,
+    doc="cross-document repeated-line removal (the MassiveText/Gopher "
+        "repeated-passage filter; Rae et al. 2021 A1.2): drop any line "
+        "whose normalized form appears in more than 5 DISTINCT documents "
+        "(site boilerplate: footers, cookie banners, nav), reassemble "
+        "survivors in original order. Scale shape: one posexplode of the "
+        "line projection, localCheckpointed because it feeds both the "
+        "document-frequency aggregate and the reassembly leg; the df "
+        "join is an equality join on the normalized line — at 100 TB "
+        "hash the line (xxhash64) so the shuffle key is 8 bytes")
+def line_dedup_across_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(". impressum kontakt "),
+                 F.col("source"), F.lit(" alle rechte vorbehalten"))
+        .alias("text"))
+    s = (aug.select("doc_id", F.posexplode(F.split("text", r"\.\s+"))
+                    .alias("pos", "sent"))
+         .withColumn("norm", F.lower(F.trim("sent")))
+         .localCheckpoint(eager=False))
+    freq = (s.groupBy("norm")
+            .agg(F.countDistinct("doc_id").alias("df")))
+    kept = (s.join(freq, "norm").filter(F.col("df") <= 5)
+            .select("doc_id", "pos", "sent"))
+    tot = s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"))
+    ka = (kept.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("int").alias("n_kept"),
+               F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "sent"))),
+                       lambda st: st["sent"]),
+                   ". ").alias("clean_text")))
+    return (tot.join(ka, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+@register(
+    "corpus_mixture_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+      FROM documents),
+    s AS (SELECT source, sum(n_toks) AS toks FROM t GROUP BY source),
+    m AS (SELECT CAST(min(toks) AS DOUBLE) AS target FROM s)
+    SELECT t.doc_id, t.source, CAST(t.n_toks AS INT) AS n_tokens
+    FROM t JOIN s USING (source), m
+    WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < m.target / s.toks
+    """,
+    doc="token-budget corpus mixing: downsample every source to the "
+        "smallest source's token count (uniform token mixture), with the "
+        "per-source rate DERIVED from corpus aggregates (target/toks) "
+        "and membership decided by a content-independent md5(doc_id) "
+        "fraction — deterministic across engines, runs, and cluster "
+        "sizes, the recipe step between per-source stats and training-"
+        "set assembly. Rates are one 20-row broadcast; the filter is a "
+        "narrow scan of the checkpointed token projection (no second "
+        "tokenize pass)")
+def corpus_mixture_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = (d.select("doc_id", "source",
+                  F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"))
+         # feeds BOTH the per-source totals and the sampled scan
+         .localCheckpoint(eager=False))
+    s = t.groupBy("source").agg(F.sum("n_toks").alias("toks"))
+    m = s.agg(F.min("toks").cast("double").alias("target"))
+    frac = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 8), 16, 10).cast("double")
+            / F.lit(4294967296.0))
+    return (t.join(F.broadcast(s), "source")
+            .crossJoin(F.broadcast(m))
+            .filter(frac < F.col("target") / F.col("toks"))
+            .select("doc_id", "source",
+                    F.col("n_toks").cast("int").alias("n_tokens")))
+
+
 @register(
     "sessionize_clicks",
     """
@@ -2543,6 +2658,8 @@ _DRIVER_PRIORITY = [
     "windowed_event_counts",
     "sliding_window_counts",
     "doc_unigram_logprob",
+    "line_dedup_across_docs",
+    "corpus_mixture_sample",
     # last sampled in r1
     "merge_upsert_orders",
     "embedding_near_dup_by_label",
