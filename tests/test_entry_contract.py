@@ -34,3 +34,20 @@ def test_entry_schema_stable(spark):
         "token_length", "failure_code", "content_kind", "n_chunks",
         "n_chunk_tokens", "n_entities"]
     assert df.count() > 0
+
+
+def test_driver_priority_ordering():
+    """The correctness driver samples the FIRST 50 registry entries in
+    iteration order — the never-/least-recently-sampled queries must
+    surface inside that window, and the priority list must be valid."""
+    from ocr_processing_pipeline_spark.plans.queries import (
+        _DRIVER_PRIORITY, QUERIES)
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
+    assert set(_DRIVER_PRIORITY) <= set(QUERIES)
+    first50 = list(E.queries())[:50]
+    for name in ("curated_corpus", "pipeline_layered_search",
+                 "windowed_event_counts", "doc_unigram_logprob",
+                 "line_dedup_across_docs", "corpus_mixture_sample"):
+        assert name in first50, f"{name} outside the driver sample window"
+    # ordering must not lose or duplicate anything
+    assert sorted(E.queries()) == sorted(QUERIES)

@@ -154,3 +154,36 @@ def test_jaccard_single_corpus_scan(spark):
     p = plan(out)
     assert p.count("Scan parquet") == 0, p
     assert "ExistingRDD" in p
+
+
+def test_curated_corpus_reads_materialized_decisions(spark):
+    """curated_corpus must consume the decisions TABLE written once per
+    corpus (dedup_decisions_dir), not re-derive the LSH chain inside the
+    composition: its plan reads a dedup_components_* parquet and runs no
+    iterative label-propagation jobs at composition time."""
+    import contextlib
+    import io
+
+    from ocr_processing_pipeline_spark.plans.queries import QUERIES
+    df = QUERIES["curated_corpus"].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "dedup_components_" in buf.getvalue(), \
+        "curated_corpus no longer reads the materialized decisions table"
+
+
+def test_worker_memo_identity_per_broadcast(spark):
+    """The linking memo is a worker-lifetime singleton per gazetteer
+    broadcast: same broadcast -> same memo dict; new broadcast -> fresh
+    memo (a stale memo would serve decisions from other gazetteers)."""
+    from ocr_processing_pipeline_spark.pipeline.ner import (
+        _get_index_and_memo)
+    bc1 = spark.sparkContext.broadcast(("tok1", [], [], []))
+    idx1, memo1 = _get_index_and_memo(bc1)
+    memo1["probe"] = 1
+    idx1b, memo1b = _get_index_and_memo(bc1)
+    assert idx1 is idx1b and memo1 is memo1b and memo1b["probe"] == 1
+    bc2 = spark.sparkContext.broadcast(("tok2", [], [], []))
+    idx2, memo2 = _get_index_and_memo(bc2)
+    assert memo2 is not memo1 and "probe" not in memo2
