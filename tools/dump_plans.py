@@ -60,6 +60,19 @@ COMMENT = {
         "(TakeOrderedAndProject), broadcast LeftSemi restricts the corpus "
         "BEFORE the per-token chunk explode — the expensive work only "
         "ever touches doc_k documents."),
+    "curated_corpus": (
+        "The curation READ path: anti-join against the MATERIALIZED "
+        "dedup-decisions table (written once per corpus by the "
+        "driver-green dedup_components builder — see the "
+        "dedup_components_* FileScan) + semi-join against the Gopher "
+        "gate. Deciding duplicates is paid once; every downstream "
+        "consumer runs this cheap three-table plan."),
+    "doc_unigram_logprob": (
+        "Corpus-LM scoring in two hash aggregates + one equality join: "
+        "per-doc term counts first (map-side combinable — join rows are "
+        "distinct (doc, term), not tokens), the vocabulary leg reads the "
+        "same checkpointed projection ('Scan ExistingRDD', one explode "
+        "total), corpus totals broadcast as a single row."),
 }
 
 
@@ -94,7 +107,8 @@ def main() -> None:
 
     for name in ("filtered_scan", "agg_pricing_summary",
                  "broadcast_join_parts", "semi_join_layered",
-                 "embedding_topk", "bm25_search", "layered_search"):
+                 "embedding_topk", "bm25_search", "layered_search",
+                 "curated_corpus", "doc_unigram_logprob"):
         df = QUERIES[name].fn(spark, SF_DIR)
         out.append(f"## {name}\n")
         out.append(COMMENT[name] + "\n")
