@@ -994,6 +994,70 @@ def line_dedup_across_docs(spark, sf_dir):
 
 
 @register(
+    "repeated_ngram_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> len(x) > 0) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             md5(array_to_string(t[g.i:g.i+14], ' ')) AS h
+      FROM toks,
+           LATERAL unnest(generate_series(1, greatest(len(t) - 14, 1)))
+             AS g(i)),
+    df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+    SELECT w.doc_id,
+           CAST(count(*) AS INT) AS n_windows,
+           CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS INT)
+               AS n_shared,
+           round(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 5) AS shared_frac
+    FROM w JOIN df USING (h)
+    GROUP BY w.doc_id
+    """,
+    doc="exact-substring dedup primitive (Lee et al. 2022, 'Deduplicating "
+        "Training Data Makes Language Models Better'): per document, the "
+        "fraction of its 15-token windows whose content also appears in "
+        "ANOTHER document — the signal behind removing exact repeated "
+        "passages (a doc with high shared_frac is substantially cloned). "
+        "Scale shape: windows become md5 hashes IMMEDIATELY (the join/"
+        "shuffle key is 16 bytes, never the window text), the hashed "
+        "window projection is localCheckpointed once and feeds both the "
+        "cross-doc frequency aggregate and the per-doc coverage "
+        "aggregate; at 10^12 docs the same plan runs with xxhash64 keys "
+        "and a suffix-array per shard replaces the fixed stride only if "
+        "sub-window matches are required")
+def repeated_ngram_coverage(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    width = 15
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                 r"\s+", " "), " "),
+        lambda t: F.length(t) > 0)
+    base = d.select("doc_id", toks.alias("t"))
+    pos = F.sequence(F.lit(1),
+                     F.greatest(F.size("t") - (width - 1), F.lit(1)))
+    wins = (base.select(
+                "doc_id",
+                F.explode(F.transform(
+                    pos,
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("t", i,
+                                                             width)))))
+                .alias("h"))
+            .localCheckpoint(eager=False))
+    freq = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (wins.join(freq, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_windows"),
+                 F.sum(shared).cast("int").alias("n_shared"),
+                 F.round(F.sum(shared) / F.count(F.lit(1)), 5)
+                 .alias("shared_frac")))
+
+
+@register(
     "corpus_mixture_sample",
     """
     WITH t AS (
@@ -2660,6 +2724,7 @@ _DRIVER_PRIORITY = [
     "doc_unigram_logprob",
     "line_dedup_across_docs",
     "corpus_mixture_sample",
+    "repeated_ngram_coverage",
     # last sampled in r1
     "merge_upsert_orders",
     "embedding_near_dup_by_label",
