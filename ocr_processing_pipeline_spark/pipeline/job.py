@@ -54,8 +54,21 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
     hook the resume test uses to simulate a mid-run crash.
     """
     checkpoint_path = os.path.join(out_dir, "checkpoint")
-    pages = spark.read.parquet(pages_path)
 
+    # all-committed fast path: commits are BUCKET-level, so when every
+    # bucket id is already in the checkpoint the anti-join below is empty
+    # by construction — detect that from the tiny checkpoint table alone
+    # (O(n_buckets) rows) BEFORE even opening the input (reading the
+    # pages path would list and footer-read every shard). A 100 TB no-op
+    # resume must not touch the 100 TB.
+    if resume and lineage._exists(checkpoint_path):
+        done = {r.bucket for r in lineage.committed_buckets(
+            spark, checkpoint_path, "docs").collect()}
+        if done >= set(range(n_buckets)):
+            return {"docs": 0, "chunks": 0, "edges": 0, "checkpoint": 0,
+                    "skipped": "nothing to do (all buckets committed)"}
+
+    pages = spark.read.parquet(pages_path)
     todo = (lineage.remaining_pages(spark, pages, checkpoint_path, "docs",
                                     n_buckets)
             if resume else lineage.with_bucket(pages, n_buckets))

@@ -66,3 +66,16 @@ def test_idempotent_rerun_no_resume(spark, corpus_dir, tmp_path):
     n_pages = spark.read.parquet(pages_path).count()
     assert docs.count() == n_pages
     assert docs.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_noop_resume_never_touches_input(spark, corpus_dir, tmp_path):
+    """Once every bucket is committed, resume must decide 'nothing to do'
+    from the checkpoint table ALONE — at 100 TB a no-op restart cannot
+    afford to list/scan the corpus. Proven by handing the resumed run a
+    nonexistent pages path: it must still return the skip marker."""
+    out = str(tmp_path / "out")
+    pages_path = f"{corpus_dir}/pages.parquet"
+    run_pipeline(spark, pages_path, corpus_dir, out, n_buckets=N_BUCKETS)
+    c = run_pipeline(spark, str(tmp_path / "does_not_exist.parquet"),
+                     corpus_dir, out, n_buckets=N_BUCKETS)
+    assert c["docs"] == 0 and "skipped" in c
