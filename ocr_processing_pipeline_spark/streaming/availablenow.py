@@ -50,13 +50,19 @@ def stream_extract_pages(spark: SparkSession, pages_dir: str, out_dir: str,
 
 def windowed_event_counts(events: DataFrame,
                           watermark: str = "10 minutes",
-                          window: str = "5 minutes") -> DataFrame:
-    """Watermarked tumbling-window counts per event_type (late data beyond
-    the watermark is dropped; state is bounded)."""
+                          window: str = "5 minutes",
+                          slide: str | None = None) -> DataFrame:
+    """Watermarked window counts per event_type (late data beyond the
+    watermark is dropped; state is bounded). ``slide`` (default None =
+    tumbling) makes the windows overlap — each event lands in
+    window/slide concurrent windows, which multiplies state size by the
+    same factor (the documented cost of sliding windows on a stream)."""
+    win = (F.window("ts", window) if slide is None
+           else F.window("ts", window, slide))
     return (events
             .withColumn("ts", F.col("ts").cast("timestamp"))
             .withWatermark("ts", watermark)
-            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .groupBy(win.alias("win"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("value").alias("total_value")))
 

@@ -120,3 +120,30 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_keys = batch.select("event_id").distinct().count()
     assert got.count() == n_keys
     assert got.distinct().count() == n_keys
+
+
+def test_sliding_window_counts_streaming(spark, tmp_path):
+    """Sliding (overlapping) windows on the stream must equal the batch
+    expansion — the streaming twin of the sliding_window_counts oracle
+    query (each event lands in window/slide = 2 windows)."""
+    events_path = f"{SF_DIR}/events.parquet"
+    batch = spark.read.parquet(events_path)
+
+    stream = (spark.readStream.schema(batch.schema)
+              .parquet(_events_stream_dir(tmp_path)))
+    agg = windowed_event_counts(stream, window="10 minutes",
+                                slide="5 minutes")
+    q = (agg.writeStream.format("memory").queryName("slide_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT win.start AS ws, event_type, n FROM slide_counts")
+
+    expected = (batch
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .groupBy(F.window("ts", "10 minutes", "5 minutes")
+                         .alias("win"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("win.start").alias("ws"), "event_type", "n"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, expected.collect()))
