@@ -409,14 +409,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                    .join(labels.withColumnRenamed("key", "dst"), "dst")
                    .groupBy(F.col("src").alias("key"))
                    .agg(F.min("comp").alias("nbr_comp")))
+        # the change flag rides along in the SAME projection (label
+        # shrank ⇔ a neighbor had a smaller comp), so the convergence
+        # probe below is a filter over the already-materialized
+        # checkpoint instead of a join of new vs old labels — one fewer
+        # join + two fewer table scans per round
         new_labels = (labels.join(nbr_min, "key", "left")
                       .select("key",
-                              F.least("comp", "nbr_comp").alias("comp")))
+                              F.least("comp", "nbr_comp").alias("comp"),
+                              (F.col("nbr_comp").isNotNull()
+                               & (F.col("nbr_comp") < F.col("comp")))
+                              .alias("chg")))
         new_labels = new_labels.localCheckpoint()  # cut iterative lineage
-        changed = (new_labels.join(labels.withColumnRenamed(
-            "comp", "old_comp"), "key")
-            .filter(F.col("comp") != F.col("old_comp")).limit(1).count())
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     if changed != 0:
