@@ -2655,12 +2655,21 @@ def dedup_decisions_dir(spark, sf_dir: str) -> str:
     value-identical to composing the live chain."""
     import hashlib
     base = os.path.basename(os.path.normpath(sf_dir))
-    # key on the absolute input path AND a builder version: bump the
-    # version if dedup_components' semantics ever change, or a stale
-    # cache would silently serve old decisions
+    # key on the absolute input path, a builder version (bump if
+    # dedup_components' semantics ever change), AND the input file's
+    # mtime+size fingerprint — the test corpus can be regenerated
+    # between rounds at the same path, and a stale decisions cache
+    # would silently serve the previous corpus's duplicates
     version = "v1"
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "missing"
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{version}".encode()).hexdigest()[:8]
+        f"{os.path.abspath(sf_dir)}:{version}:{fp}".encode()
+    ).hexdigest()[:8]
     out = os.path.join("/root/repo/.cache",
                        f"dedup_components_{base}_{tag}.parquet")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
