@@ -1037,23 +1037,23 @@ def repeated_ngram_coverage(spark, sf_dir):
                                  r"\s+", " "), " "),
         lambda t: F.length(t) > 0)
     base = d.select("doc_id", toks.alias("t"))
-    # transform-over-offsets DELIBERATELY, not the zip-shift gram
-    # builder: the r3 shingles lesson (zip-shift 4.8x faster) holds at
-    # n=3 but INVERTS at n=15 — zip-shift re-concatenates the growing
-    # gram string in each of its n-1 interpreted passes (O(n²·L)
-    # character copying), while slice-per-window pays one subarray copy
-    # + one concat per window (O(n·L)). Measured same-session at sf0.1:
-    # slice 0.85-0.93s vs zip-shift 1.93-2.12s. Pick per width; the
-    # crossover is around n≈6-8.
+    # slice-per-window DELIBERATELY, not the zip-shift gram builder: the
+    # r3 shingles lesson (zip-shift 4.8x faster) holds at n=3 but
+    # INVERTS at n=15 — zip-shift re-concatenates the growing gram
+    # string in each of its n-1 interpreted passes (O(n²·L) character
+    # copying), while slice-per-window pays one subarray copy + one
+    # concat per window (O(n·L)). Measured same-session at sf0.1: slice
+    # 0.85-0.93s vs zip-shift 1.93-2.12s. And explode the POSITIONS
+    # first rather than transform() over them: the per-window md5 then
+    # runs as a codegen'd row projection instead of an interpreted
+    # higher-order lambda (interpreted HOFs ran 10x slower late in a
+    # long-lived JVM whose code cache had filled).
     pos = F.sequence(F.lit(1),
                      F.greatest(F.size("t") - (width - 1), F.lit(1)))
-    wins = (base.select(
-                "doc_id",
-                F.explode(F.transform(
-                    pos,
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("t", i,
-                                                             width)))))
-                .alias("h"))
+    wins = (base.select("doc_id", "t", F.explode(pos).alias("i"))
+            .select("doc_id",
+                    F.md5(F.concat_ws(" ", F.slice("t", F.col("i"),
+                                                   width))).alias("h"))
             .localCheckpoint(eager=False))
     freq = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     shared = F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))

@@ -48,6 +48,13 @@ def get_spark(app_name: str = "ocr_processing_pipeline_spark",
         .config("spark.sql.files.openCostInBytes", "16m")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # a long-lived session compiles whole-stage codegen classes for
+        # every query it runs; at the default 240m the HotSpot code cache
+        # fills after ~60-70 distinct queries and the JIT shuts off,
+        # leaving interpreted expression paths ~10x slower (observed on
+        # the bench JVM). A serving/bench driver needs headroom.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
