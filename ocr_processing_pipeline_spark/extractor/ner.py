@@ -127,8 +127,15 @@ class GazetteerIndex:
         # rare length-changing case (e.g. 'İ' → 2 code points) falls back
         # to the exact per-token path. Mention text below always slices
         # the ORIGINAL text by span, so output bytes are unchanged.
+        # Final_Sigma guard: str.lower() on the FULL text maps a Greek
+        # capital sigma context-sensitively ('ΑΣ.Β'.lower() == 'ασ.β',
+        # word-final 'ΑΣ'.lower() == 'ας'), so whole-text lowering can
+        # disagree with the per-token normalization the trie keys were
+        # built with even though lengths match. Σ (U+03A3) is the only
+        # non-locale context-sensitive lowercase mapping in Unicode, so
+        # its absence makes the 1:1 argument airtight.
         low = text.lower()
-        if len(low) == len(text):
+        if len(low) == len(text) and "Σ" not in text:
             toks = token_spans(low)
             norm = [t if t.isalnum() else full_process(t)
                     for t, _, _ in toks]

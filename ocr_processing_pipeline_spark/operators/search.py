@@ -33,7 +33,7 @@ for one-shot batch jobs, which is what the registry times.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BM25_K1 = 1.2
@@ -104,13 +104,23 @@ def bm25_topk(df: DataFrame, text_col: str, key_col: str,
             .limit(k))
 
 
-def _minmax_norm(score_col: str, out_col: str):
-    """(s - min)/(max - min) over the whole (tiny, post-limit) leg;
-    degenerate legs (max == min) normalize to 1.0 like Weaviate."""
-    wall = Window.partitionBy()
-    mn, mx = F.min(score_col).over(wall), F.max(score_col).over(wall)
-    return F.when(mx == mn, F.lit(1.0)).otherwise(
-        (F.col(score_col) - mn) / (mx - mn)).alias(out_col)
+def _minmax_norm(leg: DataFrame, score_col: str, out_col: str) -> DataFrame:
+    """(key, out_col): (s - min)/(max - min) over the whole (tiny,
+    post-limit) leg; degenerate legs (max == min) normalize to 1.0 like
+    Weaviate. agg + broadcast cross-join rather than an unpartitioned
+    window: semantically identical on these ≤window-row legs, but a
+    ``Window.partitionBy()`` emits the scary (and fleet-visible)
+    ``WindowExec: No Partition Defined`` WARN on every run even though
+    the single partition is bounded by construction. Caller must ensure
+    ``leg`` is cheap to evaluate twice or checkpointed — the stats agg
+    and the projection are two plan legs over it."""
+    stats = leg.agg(F.min(score_col).alias("_mn"),
+                    F.max(score_col).alias("_mx"))
+    normed = F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+        (F.col(score_col) - F.col("_mn"))
+        / (F.col("_mx") - F.col("_mn"))).alias(out_col)
+    return (leg.crossJoin(F.broadcast(stats))
+            .select("key", normed))
 
 
 def hybrid_topk(df: DataFrame, text_col: str, key_col: str,
@@ -125,13 +135,18 @@ def hybrid_topk(df: DataFrame, text_col: str, key_col: str,
     the fusion join is a few dozen rows regardless of corpus size."""
     from .similarity import cosine_to
     window = leg_window or max(k * 5, 50)
-    bm = bm25_topk(df, text_col, key_col, query_terms, k=window)
+    # each leg is ≤window rows but expensive to DERIVE (a corpus pass);
+    # checkpoint before _minmax_norm so its stats agg + projection read
+    # the materialized rows instead of re-running the pass twice
+    bm = (bm25_topk(df, text_col, key_col, query_terms, k=window)
+          .localCheckpoint(eager=False))
     vec = (df.select(F.col(key_col).alias("key"),
                      F.round(cosine_to(query_vec, F.col(vec_col)), 5)
                      .alias("cosine"))
-           .orderBy(F.desc("cosine"), F.asc("key")).limit(window))
-    bm_n = bm.select("key", _minmax_norm("bm25", "bm_norm"))
-    v_n = vec.select("key", _minmax_norm("cosine", "v_norm"))
+           .orderBy(F.desc("cosine"), F.asc("key")).limit(window)
+           .localCheckpoint(eager=False))
+    bm_n = _minmax_norm(bm, "bm25", "bm_norm")
+    v_n = _minmax_norm(vec, "cosine", "v_norm")
     fused = (bm_n.join(v_n, "key", "full_outer")
              .withColumn(
                  "score",

@@ -54,17 +54,39 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
     hook the resume test uses to simulate a mid-run crash.
     """
     checkpoint_path = os.path.join(out_dir, "checkpoint")
+    meta_path = os.path.join(out_dir, "checkpoint_meta.json")
+
+    # n_buckets contract: every committed bucket id and the all-committed
+    # check below are defined RELATIVE to the n_buckets the checkpoint
+    # was written with. Resuming with a different value silently
+    # re-buckets the url space — committed ids no longer mean what the
+    # anti-join assumes (e.g. old 32 → new 128 would reprocess already-
+    # committed pages into different bucket partitions: duplicates). A
+    # mismatch must fail loudly, never mis-decide.
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"checkpoint at {out_dir} was written with n_buckets="
+                f"{meta.get('n_buckets')}; resume invoked with "
+                f"n_buckets={n_buckets}. Bucket ids are not comparable "
+                "across bucket counts — rerun with the original value "
+                "(or start a fresh out dir).")
 
     # all-committed fast path: commits are BUCKET-level, so when every
     # bucket id is already in the checkpoint the anti-join below is empty
     # by construction — detect that from the tiny checkpoint table alone
     # (O(n_buckets) rows) BEFORE even opening the input (reading the
     # pages path would list and footer-read every shard). A 100 TB no-op
-    # resume must not touch the 100 TB.
+    # resume must not touch the 100 TB. (Empty buckets carry sentinel
+    # rows — see empty_bucket_sentinels — so the check also closes for
+    # corpora that leave buckets empty.)
+    prior_done: set[int] = set()
     if resume and lineage._exists(checkpoint_path):
-        done = {r.bucket for r in lineage.committed_buckets(
+        prior_done = {r.bucket for r in lineage.committed_buckets(
             spark, checkpoint_path, "docs").collect()}
-        if done >= set(range(n_buckets)):
+        if prior_done >= set(range(n_buckets)):
             return {"docs": 0, "chunks": 0, "edges": 0, "checkpoint": 0,
                     "skipped": "nothing to do (all buckets committed)"}
 
@@ -147,7 +169,22 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
     # lineage/metrics rows LAST (commit point) — crash before this line ⇒
     # buckets get reprocessed and dynamically overwritten next run.
     ckpt = lineage.checkpoint_rows_with_failures(docs_this_run, "docs")
+    if fail_after_buckets is None:
+        # this run exhausted the todo set, so any bucket neither
+        # previously committed nor producing rows now has ZERO pages —
+        # commit sentinels so the no-op fast path closes over them.
+        # (A partial run — fail_after_buckets — must NOT: its untouched
+        # buckets may still hold pages.)
+        ckpt = ckpt.localCheckpoint()   # one evaluation: probe + append
+        have = {r.bucket for r in ckpt.select("bucket").collect()}
+        empty = sorted(set(range(n_buckets)) - prior_done - have)
+        if empty:
+            ckpt = ckpt.unionByName(
+                lineage.empty_bucket_sentinels(spark, empty, "docs"))
     lineage.append_checkpoint(ckpt, checkpoint_path)
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
 
     return {
         "docs": spark.read.parquet(docs_path).count(),

@@ -122,6 +122,29 @@ def checkpoint_rows_with_failures(docs_with_bucket: DataFrame,
     )
 
 
+def empty_bucket_sentinels(spark: SparkSession, buckets: list[int],
+                           table_name: str) -> DataFrame:
+    """Zero-row checkpoint rows for buckets the corpus left EMPTY.
+
+    checkpoint_rows_with_failures derives rows from the docs groupBy, so
+    a bucket no url hashes into never commits a row — and the all-
+    committed no-op fast path (job.run_pipeline), which requires every
+    bucket id in the checkpoint, would silently never trigger for such
+    corpora, falling back to listing + footer-reading the full input on
+    every no-op resume (ADVICE r4). A run that exhausted its todo set
+    commits these sentinels for the untouched empty buckets; row_count 0
+    distinguishes them in every metrics query."""
+    rows = [(int(b), table_name, 0, 0, None, None, {}, None, None)
+            for b in buckets]
+    schema = (
+        "bucket int, table_name string, row_count long, n_urls long, "
+        "warc_ts_min timestamp, warc_ts_max timestamp, "
+        "failure_counts map<string,long>, mean_extract_us double, "
+        "max_extract_us long")
+    return (spark.createDataFrame(rows, schema)
+            .withColumn("committed_at", F.current_timestamp()))
+
+
 def append_checkpoint(rows: DataFrame, checkpoint_path: str) -> None:
     rows.write.mode("append").parquet(checkpoint_path)
 
@@ -135,4 +158,5 @@ def _exists(path: str) -> bool:
 
 __all__ = ["with_bucket", "committed_buckets", "remaining_pages",
            "write_partitioned", "checkpoint_rows_with_failures",
-           "append_checkpoint", "CHECKPOINT_SCHEMA"]
+           "empty_bucket_sentinels", "append_checkpoint",
+           "CHECKPOINT_SCHEMA"]

@@ -2641,6 +2641,40 @@ def media_features(spark, sf_dir):
         .alias("features_csv"))
 
 
+def _materialized_cache_path(prefix: str, sf_dir: str, version: str) -> str:
+    """Tagged cache path under .cache for a per-corpus materialized table.
+
+    The tag keys on the absolute input path, a builder version (bump if
+    the producing builder's semantics ever change), AND the input file's
+    mtime+size fingerprint — the test corpus can be regenerated between
+    rounds at the same path, and a stale cache would silently serve the
+    previous corpus's results. Stale siblings (same prefix+base,
+    different tag — i.e. every previous corpus generation) are evicted
+    here, BEFORE the caller writes the fresh entry, so the cache holds
+    at most one entry per (prefix, corpus path) and cannot grow
+    unboundedly across rounds/test runs (ADVICE r4)."""
+    import glob
+    import hashlib
+    import shutil
+    base = os.path.basename(os.path.normpath(sf_dir))
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "missing"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{version}:{fp}".encode()
+    ).hexdigest()[:8]
+    cache_root = "/root/repo/.cache"
+    out = os.path.join(cache_root, f"{prefix}_{base}_{tag}.parquet")
+    for stale in glob.glob(
+            os.path.join(cache_root, f"{prefix}_{base}_*.parquet")):
+        if os.path.abspath(stale) != os.path.abspath(out):
+            shutil.rmtree(stale, ignore_errors=True)
+    return out
+
+
 def dedup_decisions_dir(spark, sf_dir: str) -> str:
     """Materialized near-dup decisions (doc_id, canonical_id) for the
     sf-tier documents table.
@@ -2653,25 +2687,8 @@ def dedup_decisions_dir(spark, sf_dir: str) -> str:
     extracted_tables_dir; the table is produced by the driver-green
     ``dedup_components`` builder itself, so reading it back is
     value-identical to composing the live chain."""
-    import hashlib
-    base = os.path.basename(os.path.normpath(sf_dir))
-    # key on the absolute input path, a builder version (bump if
-    # dedup_components' semantics ever change), AND the input file's
-    # mtime+size fingerprint — the test corpus can be regenerated
-    # between rounds at the same path, and a stale decisions cache
-    # would silently serve the previous corpus's duplicates
-    version = "v1"
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(doc_path)
-        fp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        fp = "missing"
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{version}:{fp}".encode()
-    ).hexdigest()[:8]
-    out = os.path.join("/root/repo/.cache",
-                       f"dedup_components_{base}_{tag}.parquet")
+    # version: bump if dedup_components' semantics ever change
+    out = _materialized_cache_path("dedup_components", sf_dir, "v1")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         QUERIES["dedup_components"].fn(spark, sf_dir) \
             .write.mode("overwrite").parquet(out)

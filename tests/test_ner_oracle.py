@@ -58,6 +58,22 @@ def test_trie_scan_longest_match():
     assert not any(m == ("Gallen", "LOC") for m in mentions)
 
 
+def test_scan_final_sigma_matches_per_token_path():
+    # Final_Sigma: 'ΠΑΤΡΑΣ.Β'.lower() == 'πατρασ.β' (whole-text lowering
+    # sees a following cased letter) but the isolated token lowers to
+    # 'πατρας' — the form the trie key was normalized with. The lower-once
+    # fast path must therefore be skipped whenever Σ is present, or the
+    # mention silently stops matching (ADVICE r4).
+    places = PLACES + [{"identifier": "12", "name_de": "ΠΑΤΡΑΣ",
+                        "name_fr": "Patras", "name_it": "Patrasso",
+                        "url": "https://ld.admin.ch/m/12"}]
+    idx = GazetteerIndex(PERSONS, places, ORGS)
+    text = "Stadt ΠΑΤΡΑΣ.Βericht über Bern."
+    mentions = {(m["mention"], m["entity_type"]) for m in idx.scan(text)}
+    assert ("ΠΑΤΡΑΣ", "LOC") in mentions
+    assert ("Bern", "LOC") in mentions
+
+
 def test_scan_spans_point_into_text():
     idx = _index()
     text = "Heute kam Emil Welti nach Bern."

@@ -68,6 +68,42 @@ def test_idempotent_rerun_no_resume(spark, corpus_dir, tmp_path):
     assert docs.groupBy("url").count().filter(F.col("count") > 1).count() == 0
 
 
+def test_resume_rejects_mismatched_n_buckets(spark, corpus_dir, tmp_path):
+    """Bucket ids are defined relative to n_buckets: resuming with a
+    different value re-buckets the url space and the committed-bucket
+    anti-join would silently reprocess (or skip) the wrong pages. The
+    contract is recorded in checkpoint_meta.json at first commit; a
+    mismatched resume must fail loudly, never mis-decide."""
+    import pytest
+    out = str(tmp_path / "out_mismatch")
+    pages_path = f"{corpus_dir}/pages.parquet"
+    run_pipeline(spark, pages_path, corpus_dir, out, n_buckets=N_BUCKETS)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_pipeline(spark, pages_path, corpus_dir, out,
+                     n_buckets=N_BUCKETS * 2)
+    # the original value still resumes cleanly (no-op)
+    c = run_pipeline(spark, pages_path, corpus_dir, out,
+                     n_buckets=N_BUCKETS)
+    assert "skipped" in c
+
+
+def test_noop_fast_path_with_empty_buckets(spark, corpus_dir, tmp_path):
+    """A corpus that leaves buckets EMPTY (fewer urls than buckets) must
+    still close the all-committed fast path: empty buckets get sentinel
+    checkpoint rows at completion, so the no-op resume decides from the
+    checkpoint alone — proven by handing it a nonexistent input path."""
+    small = str(tmp_path / "small_pages.parquet")
+    (spark.read.parquet(f"{corpus_dir}/pages.parquet").limit(10)
+     .write.parquet(small))
+    out = str(tmp_path / "out_empty")
+    n_buckets = 32           # 10 urls -> >= 22 empty buckets
+    c1 = run_pipeline(spark, small, corpus_dir, out, n_buckets=n_buckets)
+    assert c1["checkpoint"] == n_buckets   # sentinels included
+    c2 = run_pipeline(spark, str(tmp_path / "does_not_exist.parquet"),
+                      corpus_dir, out, n_buckets=n_buckets)
+    assert c2["docs"] == 0 and "skipped" in c2
+
+
 def test_noop_resume_never_touches_input(spark, corpus_dir, tmp_path):
     """Once every bucket is committed, resume must decide 'nothing to do'
     from the checkpoint table ALONE — at 100 TB a no-op restart cannot
