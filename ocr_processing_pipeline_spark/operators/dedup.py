@@ -142,6 +142,29 @@ def minhash_signatures(sh: DataFrame,
     return proj.groupBy("key").agg(*aggs)
 
 
+def band_keys(sig: DataFrame,
+              num_hashes: int = DEFAULT_NUM_HASHES,
+              band_size: int = DEFAULT_BAND_SIZE,
+              max_bucket_size: int | None = None) -> DataFrame:
+    """(key, band) LSH band keys of a signature table — the probe/index
+    unit of banded MinHash. ``max_bucket_size`` (optional here) drops
+    hot band buckets, same contract as lsh_candidate_pairs."""
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    *[F.col(f"h{b * band_size + j}")
+                      for j in range(band_size)])
+        for b in range(n_bands)])
+    banded = sig.select("key", F.explode(bands).alias("band"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band")
+        banded = (banded
+                  .withColumn("_bn", F.count(F.lit(1)).over(w))
+                  .filter(F.col("_bn") <= max_bucket_size)
+                  .drop("_bn"))
+    return banded
+
+
 def lsh_candidate_pairs(sig: DataFrame,
                         num_hashes: int = DEFAULT_NUM_HASHES,
                         band_size: int = DEFAULT_BAND_SIZE,
@@ -156,19 +179,7 @@ def lsh_candidate_pairs(sig: DataFrame,
     the safety net, and dropped buckets are still co-grouped by any other
     non-hot band they share.
     """
-    n_bands = num_hashes // band_size
-    bands = F.array(*[
-        F.concat_ws("|", F.lit(str(b)),
-                    *[F.col(f"h{b * band_size + j}")
-                      for j in range(band_size)])
-        for b in range(n_bands)])
-    banded = sig.select("key", F.explode(bands).alias("band"))
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band")
-        banded = (banded
-                  .withColumn("_bn", F.count(F.lit(1)).over(w))
-                  .filter(F.col("_bn") <= max_bucket_size)
-                  .drop("_bn"))
+    banded = band_keys(sig, num_hashes, band_size, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, "band")
@@ -291,6 +302,117 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
         minhash_signatures(sh, num_hashes, hash_impl=hash_impl),
         num_hashes, band_size)
     return jaccard_pairs(sh, min_jaccard, candidates=cands)
+
+
+def incremental_dedup(new_df: DataFrame, existing_df: DataFrame,
+                      text_col: str, key_col: str, *,
+                      n: int = 3, min_jaccard: float = 0.5,
+                      num_hashes: int = DEFAULT_NUM_HASHES,
+                      band_size: int = DEFAULT_BAND_SIZE,
+                      max_bucket_size: int | None = 10000,
+                      existing_fingerprints: DataFrame | None = None,
+                      existing_band_index: DataFrame | None = None,
+                      checkpoint: bool = True) -> DataFrame:
+    """Cross-snapshot dedup: decide every NEW doc against an EXISTING
+    corpus — the production shape for a training-data pipeline ingesting
+    crawl snapshot N+1 against the corpus it already holds (reference
+    analogue: first-seen-wins against the already-loaded store,
+    Data/Weaviate/deduplicate.py:16-26).
+
+    Returns one row per new doc: (key, canonical, match_kind) with
+    match_kind ∈ {'exact', 'near', 'unique'}:
+
+    - **exact**: content fingerprint already in the existing corpus;
+      canonical = min existing key with that fingerprint. One join of
+      new fingerprints against the (materialized) fingerprint table —
+      the existing TEXT is never touched.
+    - **near**: MinHash band keys of the non-exact survivors PROBE the
+      existing corpus's band index (never rebuild it — pass
+      ``existing_band_index`` from the snapshot-N materialization);
+      candidates are then verified by exact n-gram Jaccard ≥
+      ``min_jaccard``, re-shingling ONLY the candidate existing docs
+      (a semi-join restriction — at 10^12 docs the verify stage touches
+      O(candidates), not the corpus). canonical = min verified existing
+      key. Production systems then map canonical through the existing
+      decisions table (one broadcast join) so chains resolve to the
+      snapshot-N canonical; left to the caller because the decisions
+      table is a separate artifact.
+    - **unique**: everything else; canonical = the doc's own key.
+
+    New-vs-new duplicates are deliberately NOT decided here — run the
+    within-snapshot operators (exact_dedup / minhash_lsh_dedup) on the
+    new snapshot first; this operator answers only "is it already in
+    the corpus". ``existing_fingerprints`` (key, fp) and
+    ``existing_band_index`` (key, band) default to being derived from
+    ``existing_df`` when not supplied (small-data / oracle path)."""
+    def _ckpt(df):
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
+    fp_new = _ckpt(new_df.select(F.col(key_col).alias("key"),
+                                 fingerprint(F.col(text_col)).alias("fp")))
+    if existing_fingerprints is None:
+        existing_fingerprints = existing_df.select(
+            F.col(key_col).alias("key"),
+            fingerprint(F.col(text_col)).alias("fp"))
+    exact_canon = (existing_fingerprints.groupBy("fp")
+                   .agg(F.min("key").alias("canonical")))
+    exact = (fp_new.join(exact_canon, "fp")
+             .select("key", "canonical",
+                     F.lit("exact").alias("match_kind")))
+    rest_keys = fp_new.join(exact_canon, "fp", "left_anti").select("key")
+    rest = new_df.join(rest_keys, new_df[key_col] == rest_keys["key"],
+                       "left_semi")
+
+    # probe: bands of the non-exact new docs vs the existing band index
+    sh_new = _ckpt(shingles(rest, text_col, key_col, n=n))
+    probe = band_keys(minhash_signatures(sh_new, num_hashes),
+                      num_hashes, band_size)
+    if existing_band_index is None:
+        existing_band_index = band_keys(
+            minhash_signatures(shingles(existing_df, text_col, key_col,
+                                        n=n), num_hashes),
+            num_hashes, band_size, max_bucket_size)
+    cands = _ckpt(
+        probe.join(existing_band_index.withColumnRenamed("key", "old_key"),
+                   "band")
+        .select(F.col("key").alias("new_key"), "old_key")
+        .distinct())
+
+    # verify: exact Jaccard over the candidate keys only (8-byte hashed
+    # shingle join keys, same trade as jaccard_pairs)
+    sh_new_c = _ckpt(
+        sh_new.join(cands.select(F.col("new_key").alias("key")).distinct(),
+                    "key", "left_semi")
+        .select("key", F.xxhash64("shingle").alias("shingle")))
+    old_keys = cands.select("old_key").distinct()
+    old_cand_docs = existing_df.join(
+        old_keys, existing_df[key_col] == old_keys["old_key"], "left_semi")
+    sh_old_c = _ckpt(
+        shingles(old_cand_docs, text_col, key_col, n=n)
+        .select("key", F.xxhash64("shingle").alias("shingle")))
+    sizes_n = sh_new_c.groupBy("key").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_o = sh_old_c.groupBy("key").agg(F.count(F.lit(1)).alias("n_b"))
+    shared = (sh_new_c.alias("a").join(sh_old_c.alias("b"), "shingle")
+              .groupBy(F.col("a.key").alias("new_key"),
+                       F.col("b.key").alias("old_key"))
+              .agg(F.count(F.lit(1)).alias("shared"))
+              .join(cands, ["new_key", "old_key"], "left_semi"))
+    ver = (shared
+           .join(sizes_n.withColumnRenamed("key", "new_key"), "new_key")
+           .join(sizes_o.withColumnRenamed("key", "old_key"), "old_key")
+           .filter((F.col("shared")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+                   .cast("double") >= min_jaccard))
+    near = (ver.groupBy(F.col("new_key").alias("key"))
+            .agg(F.min("old_key").alias("canonical"))
+            .select("key", "canonical", F.lit("near").alias("match_kind")))
+
+    unique = (fp_new.select("key")
+              .join(exact.select("key"), "key", "left_anti")
+              .join(near.select("key"), "key", "left_anti")
+              .select("key", F.col("key").alias("canonical"),
+                      F.lit("unique").alias("match_kind")))
+    return exact.unionByName(near).unionByName(unique)
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -433,6 +555,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "gram_array",
-           "minhash_signatures", "lsh_candidate_pairs", "jaccard_pairs",
-           "minhash_lsh_dedup", "simhash", "simhash_candidates",
-           "connected_components", "fingerprint", "normalize_text"]
+           "minhash_signatures", "band_keys", "lsh_candidate_pairs",
+           "jaccard_pairs", "minhash_lsh_dedup", "incremental_dedup",
+           "simhash", "simhash_candidates", "connected_components",
+           "fingerprint", "normalize_text"]

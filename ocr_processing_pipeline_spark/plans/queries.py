@@ -2695,6 +2695,189 @@ def dedup_decisions_dir(spark, sf_dir: str) -> str:
     return out
 
 
+# --- Incremental cross-snapshot dedup ---------------------------------------
+#
+# The production ingest shape: crawl snapshot N+1 arrives and must be
+# deduped AGAINST THE CORPUS ALREADY HELD, not within itself. The corpus
+# side is served by two tiny materialized artifacts — the fingerprint
+# table and the MinHash band index — written once per snapshot; the new
+# snapshot only probes them.
+
+_SNAPSHOT_HALF = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2")
+
+
+def _half_docs(spark, sf_dir):
+    """(existing, new) deterministic halves of the documents table —
+    md5(doc_id) parity, so the split is stable at any cluster size and
+    reproducible in the DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    half = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 8), 16, 10)
+            .cast("long") % 2)
+    d = d.withColumn("_half", half)
+    return (d.filter(F.col("_half") == 0).drop("_half"),
+            d.filter(F.col("_half") == 1).drop("_half"))
+
+
+def dedup_index_dir(spark, sf_dir: str) -> str:
+    """Materialized snapshot-N dedup index: fingerprints.parquet
+    (key, fp) + bands.parquet (key, band) for the 'existing' half of the
+    documents table. Written once per corpus (same cache/eviction
+    pattern as dedup_decisions_dir); dedup_incremental PROBES these
+    instead of re-hashing the existing corpus — the whole point of the
+    incremental architecture."""
+    from ..operators.dedup import (band_keys, fingerprint,
+                                   minhash_signatures, shingles)
+    out = _materialized_cache_path("dedup_index", sf_dir, "v1")
+    bands_p = os.path.join(out, "bands.parquet")
+    fps_p = os.path.join(out, "fingerprints.parquet")
+    if not os.path.exists(os.path.join(bands_p, "_SUCCESS")):
+        existing, _ = _half_docs(spark, sf_dir)
+        (existing.select(F.col("doc_id").alias("key"),
+                         fingerprint(F.col("text")).alias("fp"))
+         .write.mode("overwrite").parquet(fps_p))
+        (band_keys(minhash_signatures(
+            shingles(existing, "text", "doc_id", n=3), 4),
+            4, 2, max_bucket_size=10000)
+         .write.mode("overwrite").parquet(bands_p))
+    return out
+
+
+def _incr_shingles_sql(src: str, out: str) -> str:
+    """Shingle CTE pair (tok_, sh_) over a named docs CTE — the same
+    3-gram construction as _SHINGLES_SQL, parameterized by source."""
+    return f"""
+    tok_{out} AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ') AS t
+      FROM {src}),
+    sh_{out} AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i:i+2], ' ') AS shingle
+      FROM tok_{out},
+           LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1)))
+             AS g(i)
+      WHERE length(array_to_string(t[i:i+2], ' ')) > 0)"""
+
+
+_MINHASH_SIG_SQL = """(
+      SELECT doc_id,
+             min(substring(md5('0:' || shingle), 1, 8)) AS h0,
+             min(substring(md5('0:' || shingle), 9, 8)) AS h1,
+             min(substring(md5('0:' || shingle), 17, 8)) AS h2,
+             min(substring(md5('0:' || shingle), 25, 8)) AS h3
+      FROM {sh} GROUP BY doc_id)"""
+
+_NORM_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+_INCREMENTAL_SQL = f"""
+    WITH parted AS (
+      SELECT doc_id, text, {_SNAPSHOT_HALF} AS half FROM documents),
+    newdocs AS (
+      SELECT doc_id, text FROM parted WHERE half = 1
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM parted
+      WHERE half = 0 AND doc_id % 25 = 0),
+    olddocs AS (SELECT doc_id, text FROM parted WHERE half = 0),
+    fp_new AS (SELECT doc_id, {_NORM_FP_SQL} AS fp FROM newdocs),
+    exact_canon AS (
+      SELECT {_NORM_FP_SQL} AS fp, min(doc_id) AS canonical_id
+      FROM olddocs GROUP BY 1),
+    exact AS (
+      SELECT n.doc_id, c.canonical_id
+      FROM fp_new n JOIN exact_canon c USING (fp)),
+    restdocs AS (
+      SELECT doc_id, text FROM newdocs
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+    {_incr_shingles_sql('restdocs', 'new')},
+    {_incr_shingles_sql('olddocs', 'old')},
+    sig_new AS {_MINHASH_SIG_SQL.format(sh='sh_new')},
+    sig_old AS {_MINHASH_SIG_SQL.format(sh='sh_old')},
+    bands_new AS (
+      SELECT doc_id, '0|' || h0 || '|' || h1 AS band FROM sig_new
+      UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig_new),
+    bands_old AS (
+      SELECT doc_id, '0|' || h0 || '|' || h1 AS band FROM sig_old
+      UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig_old),
+    idx AS (SELECT * FROM (
+              SELECT doc_id, band,
+                     count(*) OVER (PARTITION BY band) AS bn
+              FROM bands_old) WHERE bn <= 10000),
+    cands AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+              FROM bands_new n JOIN idx o USING (band)),
+    shn AS (SELECT * FROM sh_new
+            WHERE doc_id IN (SELECT new_id FROM cands)),
+    sho AS (SELECT * FROM sh_old
+            WHERE doc_id IN (SELECT old_id FROM cands)),
+    sizes_n AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+                FROM shn GROUP BY 1),
+    sizes_o AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+                FROM sho GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM shn a JOIN sho b USING (shingle)
+      GROUP BY 1, 2),
+    ver AS (
+      SELECT s.new_id, s.old_id FROM shared s
+      JOIN cands USING (new_id, old_id)
+      JOIN sizes_n sn ON sn.doc_id = s.new_id
+      JOIN sizes_o so ON so.doc_id = s.old_id
+      WHERE CAST(s.shared AS DOUBLE) / (sn.n + so.n - s.shared) >= 0.5),
+    near AS (SELECT new_id AS doc_id, min(old_id) AS canonical_id
+             FROM ver GROUP BY 1)
+    SELECT doc_id, CAST(canonical_id AS BIGINT) AS canonical_id,
+           'exact' AS match_kind FROM exact
+    UNION ALL
+    SELECT doc_id, CAST(canonical_id AS BIGINT), 'near' FROM near
+    UNION ALL
+    SELECT doc_id, CAST(doc_id AS BIGINT), 'unique' FROM newdocs
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+      AND doc_id NOT IN (SELECT doc_id FROM near)
+"""
+
+
+@register(
+    "dedup_incremental",
+    _INCREMENTAL_SQL,
+    doc="incremental cross-snapshot dedup (VERDICT r4 #1): the corpus is "
+        "split into 'existing' (snapshot N) and 'new' (snapshot N+1) "
+        "halves by md5(doc_id) parity; every new doc is decided against "
+        "the existing corpus — exact (fingerprint anti-join against the "
+        "MATERIALIZED fingerprint table), near (band-key probe of the "
+        "MATERIALIZED MinHash band index -> Jaccard>=0.5 verify over "
+        "candidate docs only), or unique. canonical_id = min matched "
+        "existing doc. The index artifacts come from dedup_index_dir "
+        "(decide-once/probe-many, the dedup_decisions_dir pattern); "
+        "oracle derives both phases live in CTEs — value-identical by "
+        "construction, proven by the precomputed-index parity test. The "
+        "synthetic corpus has no organic cross-half EXACT clones, so the "
+        "new snapshot additionally PLANTS re-crawled pages (every 25th "
+        "existing doc re-keyed +1e6, same bytes — the web reality the "
+        "exact phase exists for), identically on both sides")
+def dedup_incremental(spark, sf_dir):
+    from ..operators.dedup import incremental_dedup
+    existing, new = _half_docs(spark, sf_dir)
+    recrawled = (existing.filter(F.col("doc_id") % 25 == 0)
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         "text"))
+    new = new.select("doc_id", "text").unionByName(recrawled)
+    idx_dir = dedup_index_dir(spark, sf_dir)
+    fps = spark.read.parquet(os.path.join(idx_dir, "fingerprints.parquet"))
+    bands = spark.read.parquet(os.path.join(idx_dir, "bands.parquet"))
+    out = incremental_dedup(new, existing, "text", "doc_id",
+                            n=3, min_jaccard=0.5, num_hashes=4,
+                            band_size=2,
+                            existing_fingerprints=fps,
+                            existing_band_index=bands)
+    return out.select(F.col("key").alias("doc_id"),
+                      F.col("canonical").cast("long").alias("canonical_id"),
+                      "match_kind")
+
+
 # Composed end-to-end curation pipeline: the oracle embeds the already-
 # verified dedup_components (recursive-CTE transitive closure over the
 # MinHash->LSH->verify pairs) and doc_quality_gopher SQL as CTE

@@ -66,3 +66,56 @@ def test_corpus_mixture_hits_token_budget(spark, tmp_path):
     # deterministic: a rerun selects the identical doc set
     out2 = QUERIES["corpus_mixture_sample"].fn(spark, sf).toPandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_incremental_dedup_planted_cross_snapshot(spark):
+    """Planted snapshot-N vs snapshot-N+1: an exact clone, a near-dup
+    (one word changed), and a fresh doc must come back as
+    exact/near/unique with canonical = the EXISTING doc's key."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        incremental_dedup)
+    body = " ".join(f"tok{i}" for i in range(30))
+    near_body = body.replace("tok7", "changed")
+    fresh = " ".join(f"other{i}" for i in range(30))
+    existing = spark.createDataFrame(
+        [(100, body), (101, fresh.replace("other", "elder"))],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(200, body),        # exact clone of 100
+         (201, near_body),   # near-dup of 100 (29/31 shared 3-grams)
+         (202, fresh)],      # genuinely new
+        "doc_id long, text string")
+    out = {r.key: r for r in
+           incremental_dedup(new, existing, "text", "doc_id",
+                             num_hashes=4, band_size=2).collect()}
+    assert len(out) == 3
+    assert (out[200].match_kind, out[200].canonical) == ("exact", 100)
+    assert (out[201].match_kind, out[201].canonical) == ("near", 100)
+    assert (out[202].match_kind, out[202].canonical) == ("unique", 202)
+
+
+def test_incremental_dedup_precomputed_index_identical(spark):
+    """The materialized-index path (pass fingerprints + band index) must
+    decide identically to deriving both from the existing corpus."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        band_keys, fingerprint, incremental_dedup, minhash_signatures,
+        shingles)
+    from pyspark.sql import functions as F
+    body = " ".join(f"w{i}" for i in range(25))
+    existing = spark.createDataFrame(
+        [(1, body), (2, body.replace("w3", "x"))],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, body), (11, "completely different words here today")],
+        "doc_id long, text string")
+    fps = existing.select(F.col("doc_id").alias("key"),
+                          fingerprint(F.col("text")).alias("fp"))
+    idx = band_keys(minhash_signatures(
+        shingles(existing, "text", "doc_id"), 4), 4, 2, 10000)
+    live = sorted(incremental_dedup(
+        new, existing, "text", "doc_id",
+        num_hashes=4, band_size=2).collect())
+    mat = sorted(incremental_dedup(
+        new, existing, "text", "doc_id", num_hashes=4, band_size=2,
+        existing_fingerprints=fps, existing_band_index=idx).collect())
+    assert live == mat
