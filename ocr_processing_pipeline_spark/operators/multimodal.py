@@ -60,9 +60,16 @@ FEATURE_BINS = 16
 FEATURES_SCHEMA = "key string, media_kind string, features array<double>"
 
 
-def extract_features(df: DataFrame, bin_col: str, key_col: str) -> DataFrame:
+def extract_features(df: DataFrame, bin_col: str, key_col: str,
+                     normalize: bool = True) -> DataFrame:
     """Deterministic per-payload feature vector (16-bin byte histogram,
-    L1-normalized). Vectorized inside the Arrow batch via numpy."""
+    L1-normalized). Vectorized inside the Arrow batch via numpy.
+
+    ``normalize=False`` returns the RAW bin counts (array<bigint>)
+    instead — the exact-integer form the cross-engine oracle compares
+    (float→string formatting of the normalized vector is not portable
+    across engines at rounding ties; the normalization itself is one
+    scalar divide, pinned by pytest on the default path)."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             # one vectorized pass per Arrow batch: concatenate payloads,
@@ -80,7 +87,8 @@ def extract_features(df: DataFrame, bin_col: str, key_col: str) -> DataFrame:
                 hist = np.bincount(
                     flat, minlength=len(payloads) * FEATURE_BINS
                 ).reshape(len(payloads), FEATURE_BINS)
-            feats = (hist / np.maximum(lens, 1)[:, None]).tolist()
+            feats = ((hist / np.maximum(lens, 1)[:, None]).tolist()
+                     if normalize else hist.tolist())
             yield pd.DataFrame({
                 "key": pdf[key_col].astype(str),
                 "media_kind": pdf.get(
@@ -88,9 +96,11 @@ def extract_features(df: DataFrame, bin_col: str, key_col: str) -> DataFrame:
                 "features": feats,
             })
 
+    schema = (FEATURES_SCHEMA if normalize else
+              FEATURES_SCHEMA.replace("array<double>", "array<bigint>"))
     cols = [key_col, bin_col] + (
         ["media_kind"] if "media_kind" in df.columns else [])
-    return df.select(*cols).mapInPandas(batches, schema=FEATURES_SCHEMA)
+    return df.select(*cols).mapInPandas(batches, schema=schema)
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub

@@ -2624,21 +2624,81 @@ def pipeline_layered_search(spark, sf_dir):
             .orderBy(F.desc("bm25"), F.asc("key")).limit(10))
 
 
-@register("media_features", None,
-          doc="multimodal plumbing: magic sniff + byte-histogram features")
+@register(
+    "media_features",
+    """
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN unhex('89504E47')
+               WHEN 1 THEN unhex('FFD8FF')
+               WHEN 2 THEN unhex('47494638')
+               ELSE unhex('')
+             END || encode(text) AS p
+      FROM documents),
+    hx AS (SELECT doc_id, hex(p) AS h, octet_length(p) AS nb
+           FROM payloads),
+    kinds AS (
+      SELECT doc_id,
+             CASE
+               WHEN substring(h, 1, 8)  = '89504E47' THEN 'image/png'
+               WHEN substring(h, 1, 6)  = 'FFD8FF'   THEN 'image/jpeg'
+               WHEN substring(h, 1, 8)  = '47494638' THEN 'image/gif'
+               WHEN substring(h, 1, 8)  = '52494646' THEN 'audio/wav'
+               WHEN substring(h, 1, 6)  = '494433'   THEN 'audio/mp3'
+               WHEN substring(h, 1, 16) = '0000001866747970'
+                   THEN 'video/mp4'
+               WHEN substring(h, 1, 14) = '2553504446310A'
+                   THEN 'application/x-spdf'
+               ELSE 'application/octet-stream'
+             END AS media_kind
+      FROM hx),
+    nib AS (SELECT doc_id,
+                   ('0x' || substring(h, 2 * i - 1, 1))::BIGINT AS nb4
+            FROM hx, LATERAL unnest(generate_series(1, nb)) g(i)),
+    hist AS (SELECT doc_id, nb4, CAST(count(*) AS BIGINT) AS c
+             FROM nib GROUP BY 1, 2),
+    bins AS (SELECT hx.doc_id, b.bin
+             FROM hx, LATERAL unnest(generate_series(0, 15)) b(bin)),
+    filled AS (SELECT bins.doc_id, bins.bin, COALESCE(hist.c, 0) AS c
+               FROM bins LEFT JOIN hist
+                 ON hist.doc_id = bins.doc_id AND hist.nb4 = bins.bin)
+    SELECT CAST(k.doc_id AS VARCHAR) AS key, k.media_kind,
+           string_agg(CAST(f.c AS VARCHAR), ',' ORDER BY f.bin)
+               AS features_csv
+    FROM kinds k JOIN filled f ON f.doc_id = k.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="multimodal plumbing, oracle-gated end to end (VERDICT r4 #3): "
+        "binary payloads synthesized deterministically from the "
+        "documents table (doc_id%4 picks a PNG/JPEG/GIF magic prefix or "
+        "none, then the utf-8 text bytes), magic-byte sniff + 16-bin "
+        "high-nibble byte histogram. The oracle replicates the SNIFF "
+        "(hex-prefix CASE in _MAGIC order) and the histogram (hex-char "
+        "nibble extraction) over the same blob. Raw integer counts "
+        "(normalize=False) — exactly hashable cross-engine; the "
+        "normalized float path is pinned by test_multimodal_sniff_and_"
+        "features. The pages-corpus run of the same operators stays "
+        "covered by that pytest too")
 def media_features(spark, sf_dir):
     from ..operators.multimodal import extract_features, sniff_media
     ensure_workers_can_import(spark)
-    corpus = pages_corpus_dir(sf_dir)
-    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
-    feats = extract_features(sniff_media(pages, "html"), "html", "url")
-    # serialize the array<double> → one string column: the driver's
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    magic = (F.when(m == 0, F.unhex(F.lit("89504E47")))
+             .when(m == 1, F.unhex(F.lit("FFD8FF")))
+             .when(m == 2, F.unhex(F.lit("47494638")))
+             .otherwise(F.lit(b"")))
+    payload = F.concat(magic, F.encode("text", "UTF-8"))
+    docs = d.select("doc_id", payload.alias("payload"))
+    feats = extract_features(sniff_media(docs, "payload"),
+                             "payload", "doc_id", normalize=False)
+    # serialize the array → one string column: the driver's
     # canonicalizer hashes pandas values and lists are unhashable
     return feats.select(
         "key", "media_kind",
-        F.concat_ws(",", F.transform(
-            "features", lambda x: F.format_number(x, 5)))
-        .alias("features_csv"))
+        F.array_join(F.transform("features", lambda x: x.cast("string")),
+                     ",").alias("features_csv"))
 
 
 def _materialized_cache_path(prefix: str, sf_dir: str, version: str) -> str:
@@ -2932,38 +2992,40 @@ def curated_corpus(spark, sf_dir):
 # by tests/test_queries_oracle.py at two scale factors regardless of
 # whether the driver samples it this round.
 _DRIVER_PRIORITY = [
-    # never driver-sampled through r3
-    "curated_corpus",
-    "pipeline_layered_search",
-    # new in round 4
-    "windowed_event_counts",
-    "sliding_window_counts",
-    "doc_unigram_logprob",
-    "line_dedup_across_docs",
-    "corpus_mixture_sample",
-    "repeated_ngram_coverage",
-    # last sampled in r1
-    "merge_upsert_orders",
-    "embedding_near_dup_by_label",
-    "distinct_users_per_type",
-    "pipeline_extract_docs",
-    "pipeline_chunks",
-    "pipeline_edges",
+    # new in round 5
+    "dedup_incremental",
+    # r4 row was rows-only; gained its DuckDB oracle in r5 — needs a
+    # hash-matched driver row
     "media_features",
-    # last sampled in r2
-    "url_prefix_guard",
-    "fuzzy_levenshtein",
-    "sanitize_text",
-    "cube_event_stats",
-    "regex_log_parse",
-    "fixed_window_chunks",
-    "rollup_revenue",
-    "exact_quantiles",
-    "bm25_search",
-    "hybrid_search",
-    "layered_search",
-    "reduce_person_names",
-    "metrics_yearly_report",
+    # not sampled in r4 (green in r3 or earlier; rotated back in)
+    "top_ngrams",
+    "decontaminate_docs",
+    "doc_pii_scrub",
+    "stratified_sample",
+    "pack_sequences",
+    "embedding_quantize",
+    "embedding_topk",
+    "embedding_label_centroids",
+    "embedding_norms",
+    "agg_pricing_summary",
+    "filtered_scan",
+    "in_filter",
+    "like_filter",
+    "anti_join_resume",
+    "semi_join_layered",
+    "join_orders_per_nation",
+    "broadcast_join_parts",
+    "window_topk_per_group",
+    "running_window_frames",
+    "dedup_first_event",
+    "change_detection",
+    "asof_join_events",
+    "sorted_set_langs",
+    "union_distinct_users",
+    "json_extract_props",
+    "date_arithmetic",
+    "string_functions",
+    "pivot_linestatus",
 ]
 
 

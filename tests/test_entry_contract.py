@@ -10,10 +10,12 @@ def test_oracle_keys_subset_of_queries():
     o = E.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 35
-    # the pipeline queries are intentionally oracle-less (rows-only)
+    # the pipeline queries are intentionally oracle-less (rows-only);
+    # everything else must carry a DuckDB twin (media_features gained
+    # its oracle in r5)
     oracle_less = set(q) - set(o)
-    assert {"pipeline_extract_docs", "pipeline_chunks",
-            "pipeline_edges", "media_features"} <= oracle_less
+    assert oracle_less == {"pipeline_extract_docs", "pipeline_chunks",
+                           "pipeline_edges", "pipeline_layered_search"}
 
 
 def test_query_callables_signature():
