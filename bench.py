@@ -46,28 +46,34 @@ def main() -> None:
     # dedup_components itself; curated_corpus times the curation READ path
     dedup_decisions_dir(spark, sf_dir)
 
-    # best-of-2 per query: this shared host swings 2-3x run-to-run
-    # (CLAUDE.md); min-of-2 within one JVM is the stable signal
-    # best-of-3: observed sustained multi-minute host-contention windows
-    # that inflate a whole alphabetical block across BOTH of 2 runs
-    # (regex_log_parse 0.18s -> 2.4s); a third sample usually escapes it
+    # min over N INTERLEAVED sweeps of the full query list (not N
+    # back-to-back runs per query): this shared host has multi-minute
+    # contention windows, and back-to-back sampling put all of a query's
+    # samples inside one window — r4's driver artifact showed a fake 45x
+    # string_functions "regression" (5.4s vs 0.29s isolated) because one
+    # window swallowed a whole contiguous alphabetical block. Sweeping
+    # the full list before resampling spreads each query's samples
+    # minutes apart, so a window must span the entire run to poison any
+    # min. Min-of-3 within one JVM remains the stable signal (wall
+    # clock swings 2-3x run-to-run, CLAUDE.md).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     import gc
-    for name, q in sorted(QUERIES.items()):
-        best = None
-        for _ in range(n_runs):
+    names = sorted(QUERIES)
+    for _sweep in range(n_runs):
+        for name in names:
             t0 = time.time()
-            _run(q.fn(spark, sf_dir))
+            _run(QUERIES[name].fn(spark, sf_dir))
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        # drop py4j refs to this query's DataFrames so ContextCleaner can
-        # release its localCheckpointed RDDs — otherwise the storage of
-        # ~10 checkpoint-using queries accumulates across the run and
-        # late-alphabet queries time under GC/memory pressure (observed:
-        # pivot/rollup 4-5x their fresh-JVM times before this)
-        gc.collect()
+            prev = timings.get(name)
+            timings[name] = round(dt if prev is None else min(prev, dt), 3)
+            # drop py4j refs to this query's DataFrames so ContextCleaner
+            # can release its localCheckpointed RDDs — otherwise the
+            # storage of ~10 checkpoint-using queries accumulates across
+            # the run and late-alphabet queries time under GC/memory
+            # pressure (observed: pivot/rollup 4-5x their fresh-JVM
+            # times before this)
+            gc.collect()
 
     # headline extraction throughput from a dedicated multi-rep loop:
     # one sf0.1 pass is sub-second on 32 threads, so a single-run
@@ -92,7 +98,7 @@ def main() -> None:
         "cpus": cpus,
         "n_queries": len(timings),
         "runs_per_query": n_runs,
-        "agg": "min",
+        "agg": "min_over_interleaved_sweeps",
         "extraction_docs_per_sec": docs_per_sec,
         "extraction_corpus_pages": n_pages,
         "extraction_reps": reps,

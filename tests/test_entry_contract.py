@@ -47,9 +47,11 @@ def test_driver_priority_ordering():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
     assert set(_DRIVER_PRIORITY) <= set(QUERIES)
     first50 = list(E.queries())[:50]
-    for name in ("curated_corpus", "pipeline_layered_search",
-                 "windowed_event_counts", "doc_unigram_logprob",
-                 "line_dedup_across_docs", "corpus_mixture_sample"):
+    # r5 rotation: the new query, the newly-oracle-gated one, and the
+    # r4-unsampled block must surface inside the 50-entry window
+    for name in ("dedup_incremental", "media_features", "top_ngrams",
+                 "asof_join_events", "string_functions",
+                 "pivot_linestatus"):
         assert name in first50, f"{name} outside the driver sample window"
     # ordering must not lose or duplicate anything
     assert sorted(E.queries()) == sorted(QUERIES)
