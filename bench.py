@@ -40,33 +40,45 @@ def main() -> None:
     n_pages = spark.read.parquet(
         os.path.join(corpus, "pages.parquet")).count()
     from ocr_processing_pipeline_spark.plans.queries import (
-        dedup_decisions_dir, extracted_tables_dir)
+        dedup_decisions_dir, dedup_index_dir, extracted_tables_dir)
     extracted_tables_dir(spark, sf_dir)
     # same for the dedup decisions table: deciding duplicates is timed by
     # dedup_components itself; curated_corpus times the curation READ path
     dedup_decisions_dir(spark, sf_dir)
+    # and the snapshot-N dedup index: dedup_incremental times the PROBE
+    # path (the incremental architecture's point), not the once-per-
+    # snapshot index build
+    dedup_index_dir(spark, sf_dir)
 
-    # min over N INTERLEAVED sweeps of the full query list (not N
-    # back-to-back runs per query): this shared host has multi-minute
-    # contention windows, and back-to-back sampling put all of a query's
-    # samples inside one window — r4's driver artifact showed a fake 45x
-    # string_functions "regression" (5.4s vs 0.29s isolated) because one
-    # window swallowed a whole contiguous alphabetical block. Sweeping
-    # the full list before resampling spreads each query's samples
-    # minutes apart, so a window must span the entire run to poison any
-    # min. Min-of-3 within one JVM remains the stable signal (wall
-    # clock swings 2-3x run-to-run, CLAUDE.md).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Sampling shape: min over (SWEEPS time-separated visits) x (RUNS
+    # back-to-back runs per visit). Two failure modes pull in opposite
+    # directions and this covers both:
+    # - pure back-to-back best-of-3 (r1-r4): a multi-minute host-
+    #   contention window swallows ALL of a query's samples — r4's
+    #   driver artifact showed a fake 45x string_functions "regression"
+    #   (5.4s vs 0.29s isolated) because one window covered a whole
+    #   contiguous alphabetical block. Time-separated sweeps fix that:
+    #   a window must span the entire run to poison a min.
+    # - pure interleaving (1 run per visit): ~80 queries pass between a
+    #   query's samples, Python workers get recycled, and every sample
+    #   of worker-state-dependent queries is COLD (pipeline_edges read
+    #   5.0s in-bench vs 1.0-1.2s warm isolated — the NER worker-
+    #   lifetime memo never survives a sweep). Back-to-back pairs per
+    #   visit restore the warm-state signal.
+    sweeps = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     import gc
     names = sorted(QUERIES)
-    for _sweep in range(n_runs):
+    for _sweep in range(sweeps):
         for name in names:
-            t0 = time.time()
-            _run(QUERIES[name].fn(spark, sf_dir))
-            dt = time.time() - t0
-            prev = timings.get(name)
-            timings[name] = round(dt if prev is None else min(prev, dt), 3)
+            for _rep in range(n_runs):
+                t0 = time.time()
+                _run(QUERIES[name].fn(spark, sf_dir))
+                dt = time.time() - t0
+                prev = timings.get(name)
+                timings[name] = round(
+                    dt if prev is None else min(prev, dt), 3)
             # drop py4j refs to this query's DataFrames so ContextCleaner
             # can release its localCheckpointed RDDs — otherwise the
             # storage of ~10 checkpoint-using queries accumulates across
@@ -97,8 +109,8 @@ def main() -> None:
         "sf": sf_label,
         "cpus": cpus,
         "n_queries": len(timings),
-        "runs_per_query": n_runs,
-        "agg": "min_over_interleaved_sweeps",
+        "runs_per_query": sweeps * n_runs,
+        "agg": "min_over_sweeps_x_pairs",
         "extraction_docs_per_sec": docs_per_sec,
         "extraction_corpus_pages": n_pages,
         "extraction_reps": reps,

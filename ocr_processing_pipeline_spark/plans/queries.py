@@ -2938,6 +2938,40 @@ def dedup_incremental(spark, sf_dir):
                       "match_kind")
 
 
+def _snapshot_ingest_sql() -> str:
+    return f"""
+    WITH incr AS ({_INCREMENTAL_SQL}),
+    qual AS ({QUERIES["doc_quality_gopher"].sql})
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN incr i ON i.doc_id = d.doc_id AND i.match_kind = 'unique'
+    JOIN qual q ON q.doc_id = d.doc_id AND q.keep
+    """
+
+
+@register(
+    "snapshot_ingest",
+    _snapshot_ingest_sql(),
+    doc="the END-TO-END snapshot-N+1 ingest: which incoming docs are "
+        "ADMITTED to the corpus — dedup_incremental's verdicts (exact/"
+        "near dups of the existing corpus rejected) composed with the "
+        "Gopher quality gate, the N+1 counterpart of curated_corpus's "
+        "within-corpus curation. Reuses the registered (oracle-green) "
+        "builders live on the Spark side and embeds their SQL as CTEs "
+        "on the oracle side, so the composition is gated by "
+        "construction wherever the pieces are")
+def snapshot_ingest(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    verdicts = QUERIES["dedup_incremental"].fn(spark, sf_dir)
+    admitted = (verdicts.filter(F.col("match_kind") == "unique")
+                .select("doc_id"))
+    qual = (QUERIES["doc_quality_gopher"].fn(spark, sf_dir)
+            .filter(F.col("keep")).select("doc_id"))
+    return (d.join(admitted, "doc_id", "left_semi")
+            .join(qual, "doc_id", "left_semi")
+            .select("doc_id", "lang", "source"))
+
+
 # Composed end-to-end curation pipeline: the oracle embeds the already-
 # verified dedup_components (recursive-CTE transitive closure over the
 # MinHash->LSH->verify pairs) and doc_quality_gopher SQL as CTE
@@ -2994,6 +3028,7 @@ def curated_corpus(spark, sf_dir):
 _DRIVER_PRIORITY = [
     # new in round 5
     "dedup_incremental",
+    "snapshot_ingest",
     # r4 row was rows-only; gained its DuckDB oracle in r5 — needs a
     # hash-matched driver row
     "media_features",
