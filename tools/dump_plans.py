@@ -73,6 +73,18 @@ COMMENT = {
         "distinct (doc, term), not tokens), the vocabulary leg reads the "
         "same checkpointed projection ('Scan ExistingRDD', one explode "
         "total), corpus totals broadcast as a single row."),
+    "dedup_incremental": (
+        "Cross-snapshot ingest dedup: the EXISTING corpus appears only "
+        "as its two materialized index artifacts (dedup_index_* "
+        "FileScans: fingerprints + MinHash band keys, written once per "
+        "snapshot) plus a candidate-restricted text fetch for the "
+        "Jaccard verify — the new snapshot probes; the 10^12-doc corpus "
+        "is never re-hashed."),
+    "snapshot_ingest": (
+        "The admission READ path: new docs semi-joined against the "
+        "MATERIALIZED incremental verdicts table (dedup_verdicts_* "
+        "FileScan, decided once per snapshot) and the Gopher gate — the "
+        "N+1 counterpart of curated_corpus's cheap three-table plan."),
 }
 
 
@@ -108,7 +120,8 @@ def main() -> None:
     for name in ("filtered_scan", "agg_pricing_summary",
                  "broadcast_join_parts", "semi_join_layered",
                  "embedding_topk", "bm25_search", "layered_search",
-                 "curated_corpus", "doc_unigram_logprob"):
+                 "curated_corpus", "doc_unigram_logprob",
+                 "dedup_incremental", "snapshot_ingest"):
         df = QUERIES[name].fn(spark, SF_DIR)
         out.append(f"## {name}\n")
         out.append(COMMENT[name] + "\n")
