@@ -40,15 +40,18 @@ def main() -> None:
     n_pages = spark.read.parquet(
         os.path.join(corpus, "pages.parquet")).count()
     from ocr_processing_pipeline_spark.plans.queries import (
-        dedup_decisions_dir, dedup_index_dir, extracted_tables_dir)
+        dedup_decisions_dir, dedup_index_dir, dedup_verdicts_dir,
+        extracted_tables_dir)
     extracted_tables_dir(spark, sf_dir)
     # same for the dedup decisions table: deciding duplicates is timed by
     # dedup_components itself; curated_corpus times the curation READ path
     dedup_decisions_dir(spark, sf_dir)
-    # and the snapshot-N dedup index: dedup_incremental times the PROBE
-    # path (the incremental architecture's point), not the once-per-
-    # snapshot index build
+    # and the snapshot-N dedup index + verdicts: dedup_incremental times
+    # the PROBE path (the incremental architecture's point), not the
+    # once-per-snapshot index build; snapshot_ingest times the
+    # admission READ path
     dedup_index_dir(spark, sf_dir)
+    dedup_verdicts_dir(spark, sf_dir)
 
     # Sampling shape: min over (SWEEPS time-separated visits) x (RUNS
     # back-to-back runs per visit). Two failure modes pull in opposite

@@ -2938,6 +2938,20 @@ def dedup_incremental(spark, sf_dir):
                       "match_kind")
 
 
+def dedup_verdicts_dir(spark, sf_dir: str) -> str:
+    """Materialized incremental-dedup verdicts (doc_id, canonical_id,
+    match_kind) for the corpus's snapshot split — written once by the
+    driver-green ``dedup_incremental`` builder, read by every ingest
+    consumer (the same decide-once/serve-many shape as
+    dedup_decisions_dir: an admission decision is made once per
+    snapshot, not re-probed inside every composed query)."""
+    out = _materialized_cache_path("dedup_verdicts", sf_dir, "v1")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        QUERIES["dedup_incremental"].fn(spark, sf_dir) \
+            .write.mode("overwrite").parquet(out)
+    return out
+
+
 def _snapshot_ingest_sql() -> str:
     return f"""
     WITH incr AS ({_INCREMENTAL_SQL}),
@@ -2956,13 +2970,15 @@ def _snapshot_ingest_sql() -> str:
         "ADMITTED to the corpus — dedup_incremental's verdicts (exact/"
         "near dups of the existing corpus rejected) composed with the "
         "Gopher quality gate, the N+1 counterpart of curated_corpus's "
-        "within-corpus curation. Reuses the registered (oracle-green) "
-        "builders live on the Spark side and embeds their SQL as CTEs "
-        "on the oracle side, so the composition is gated by "
-        "construction wherever the pieces are")
+        "within-corpus curation. The verdicts come from the MATERIALIZED "
+        "table dedup_verdicts_dir writes once per snapshot via the "
+        "driver-green dedup_incremental builder (decide-once/serve-many, "
+        "the dedup_decisions_dir pattern — value-identical to composing "
+        "live); the Gopher gate reuses its registered builder live, so "
+        "the composition inherits both oracle gates")
 def snapshot_ingest(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    verdicts = QUERIES["dedup_incremental"].fn(spark, sf_dir)
+    verdicts = spark.read.parquet(dedup_verdicts_dir(spark, sf_dir))
     admitted = (verdicts.filter(F.col("match_kind") == "unique")
                 .select("doc_id"))
     qual = (QUERIES["doc_quality_gopher"].fn(spark, sf_dir)

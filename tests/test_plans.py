@@ -173,6 +173,22 @@ def test_curated_corpus_reads_materialized_decisions(spark):
         "curated_corpus no longer reads the materialized decisions table"
 
 
+def test_snapshot_ingest_reads_materialized_verdicts(spark):
+    """snapshot_ingest must consume the verdicts TABLE written once per
+    snapshot (dedup_verdicts_dir), not re-probe the band index inside
+    the composition: its plan reads a dedup_verdicts_* parquet."""
+    import contextlib
+    import io
+
+    from ocr_processing_pipeline_spark.plans.queries import QUERIES
+    df = QUERIES["snapshot_ingest"].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "dedup_verdicts_" in buf.getvalue(), \
+        "snapshot_ingest no longer reads the materialized verdicts table"
+
+
 def test_worker_memo_identity_per_broadcast(spark):
     """The linking memo is a worker-lifetime singleton per gazetteer
     broadcast: same broadcast -> same memo dict; new broadcast -> fresh
