@@ -78,6 +78,45 @@ def langid(df: DataFrame, text_col: str) -> DataFrame:
     return out
 
 
+def canonicalize_url(col):
+    """Canonical URL form for crawl dedup / host accounting, built-ins
+    only (6 regexp passes, codegen'd, shuffle-free):
+
+    1. lowercase the scheme://host[:port] prefix (path/query case kept —
+       paths are case-sensitive on most servers)
+    2. drop the fragment
+    3. drop default ports (https :443, http :80)
+    4. drop tracking params (utm_*, gclid, fbclid), then normalize the
+       separators the removal leaves behind
+    5. drop the trailing path slash (before end or before '?')
+
+    Deliberately NOT done: query-param reordering (needs a tokenize +
+    sort — a higher-order split/array_sort if ever required) and
+    IDN/percent-encoding normalization. Every regex is RE2-compatible
+    (no lookaheads/backrefs in patterns), so the DuckDB oracle applies
+    the identical passes; only the replacement-ref syntax differs
+    ($1 Java / \\1 RE2)."""
+    u = F.concat(
+        F.lower(F.regexp_extract(col, r"^([a-zA-Z]+://[^/?#]*)", 1)),
+        F.regexp_replace(col, r"^[a-zA-Z]+://[^/?#]*", ""))
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443", r"$1")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80", r"$1")
+    u = F.regexp_replace(u, r"(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*", "")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/+\?", "?")
+    u = F.regexp_replace(u, r"([^/])/$", r"$1")
+    return u
+
+
+def url_host(col):
+    """Registered host of a (canonicalized) url — the crawl-politeness /
+    skew-accounting grouping key."""
+    return F.regexp_extract(col, r"^[a-zA-Z]+://([^/:?#]*)", 1)
+
+
 def doc_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
     """Rolling-hash-style document fingerprint: md5 of the normalized text
     (portable to the DuckDB oracle, unlike xxhash64)."""
@@ -88,4 +127,5 @@ def doc_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
 
 
 __all__ = ["token_count_col", "quality_features", "quality_score",
-           "langid", "doc_fingerprint", "LANG_PATTERNS"]
+           "langid", "doc_fingerprint", "canonicalize_url", "url_host",
+           "LANG_PATTERNS"]

@@ -2701,6 +2701,102 @@ def media_features(spark, sf_dir):
                      ",").alias("features_csv"))
 
 
+# --- URL canonicalization / host accounting ---------------------------------
+#
+# Crawl-side curation: tracking-param strip + case/port/fragment/slash
+# normalization before url-keyed dedup, and per-host accounting (the
+# politeness/skew grouping key). The documents table carries no url
+# column, so urls are SYNTHESIZED deterministically from doc_id with
+# every mess the canonicalizer exists for (upper-cased scheme+host,
+# default port, utm/gclid params, fragments, trailing slashes) —
+# identically on both sides, so the oracle verifies the full chain.
+
+_URL_SYNTH_SQL = """
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTPS://Example' || CAST(doc_id % 5 AS VARCHAR) ||
+             '.COM:443/Path/' || CAST(doc_id AS VARCHAR) ||
+             CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+             '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+             CASE WHEN doc_id % 4 = 0 THEN '&gclid=abc' ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents),"""
+
+# the same passes as operators/text.canonicalize_url, RE2 syntax
+# ('g' where the pattern can occur more than once, \\1 refs)
+_URL_CANON_SQL = _URL_SYNTH_SQL + r"""
+    c1 AS (SELECT doc_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]*)', 1)) ||
+             regexp_replace(url, '^[a-zA-Z]+://[^/?#]*', '') AS u
+           FROM urls),
+    c2 AS (SELECT doc_id, url, regexp_replace(u, '#.*$', '') AS u
+           FROM c1),
+    c3 AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(u,
+               '^(https://[^/:?#]*):443', '\1'),
+               '^(http://[^/:?#]*):80', '\1') AS u FROM c2),
+    c4 AS (SELECT doc_id, url, regexp_replace(u,
+             '(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*', '', 'g') AS u
+           FROM c3),
+    c5 AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(u,
+               '&&+', '&', 'g'), '\?&', '?'), '[?&]+$', '') AS u
+           FROM c4),
+    canon AS (SELECT doc_id, url,
+                regexp_replace(regexp_replace(u, '/+\?', '?'),
+                               '([^/])/$', '\1') AS u
+              FROM c5)"""
+
+
+def _synth_url():
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://Example"), (did % 5).cast("string"),
+        F.lit(".COM:443/Path/"), did.cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), did.cast("string"),
+        F.when(did % 4 == 0, F.lit("&gclid=abc")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit("")))
+
+
+@register(
+    "url_canonicalize",
+    _URL_CANON_SQL + """
+    SELECT doc_id, url, u AS canonical_url FROM canon
+    """,
+    doc="URL canonicalization for crawl dedup (operators/text."
+        "canonicalize_url): lowercase scheme+host, drop fragment, drop "
+        "default ports, strip tracking params (utm_*/gclid/fbclid) with "
+        "separator cleanup, strip trailing path slash — 6 codegen'd "
+        "regexp passes, shuffle-free; the oracle applies the identical "
+        "RE2-compatible passes")
+def url_canonicalize(spark, sf_dir):
+    from ..operators.text import canonicalize_url
+    d = _t(spark, sf_dir, "documents")
+    url = _synth_url()
+    return d.select("doc_id", url.alias("url"),
+                    canonicalize_url(url).alias("canonical_url"))
+
+
+@register(
+    "url_host_stats",
+    _URL_CANON_SQL + """
+    SELECT regexp_extract(u, '^[a-zA-Z]+://([^/:?#]*)', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM canon GROUP BY 1
+    """,
+    doc="per-host crawl accounting over canonicalized urls — the "
+        "politeness / host-skew grouping key (the corpus's host skew is "
+        "why the pipeline buckets on xxhash64(url), never host)")
+def url_host_stats(spark, sf_dir):
+    from ..operators.text import canonicalize_url, url_host
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(url_host(canonicalize_url(_synth_url()))
+                     .alias("host"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 def _materialized_cache_path(prefix: str, sf_dir: str, version: str) -> str:
     """Tagged cache path under .cache for a per-corpus materialized table.
 
@@ -3045,6 +3141,8 @@ _DRIVER_PRIORITY = [
     # new in round 5
     "dedup_incremental",
     "snapshot_ingest",
+    "url_canonicalize",
+    "url_host_stats",
     # r4 row was rows-only; gained its DuckDB oracle in r5 — needs a
     # hash-matched driver row
     "media_features",

@@ -364,3 +364,28 @@ def test_ivf_null_vector_lands_in_quarantine_cell(spark):
     cells = {r.key: r.cell for r in assigned.collect()}
     assert cells[6] == -1
     assert all(c >= 0 for k, c in cells.items() if k != 6)
+
+
+def test_canonicalize_url_planted_and_idempotent(spark):
+    from ocr_processing_pipeline_spark.operators.text import (
+        canonicalize_url, url_host)
+    rows = [
+        ("HTTPS://Ex.COM:443/A/b/?utm_source=x&id=1&fbclid=z#top",
+         "https://ex.com/A/b?id=1"),
+        ("http://ex.com:80/", "http://ex.com"),
+        ("https://ex.com/path/?utm_campaign=c", "https://ex.com/path"),
+        ("https://ex.com/p?id=2&utm_medium=m&q=3", "https://ex.com/p?id=2&q=3"),
+        ("https://ex.com/clean?a=1", "https://ex.com/clean?a=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r.c for r in df.select(
+        canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in rows]
+    # idempotence: canonical form is a fixed point
+    df2 = spark.createDataFrame([(c,) for c in got], "url string")
+    again = [r.c for r in df2.select(
+        canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert again == got
+    hosts = [r.h for r in df.select(url_host(
+        canonicalize_url(F.col("url"))).alias("h")).collect()]
+    assert hosts == ["ex.com"] * 5

@@ -147,3 +147,64 @@ def test_sliding_window_counts_streaming(spark, tmp_path):
                 .select(F.col("win.start").alias("ws"), "event_type", "n"))
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, expected.collect()))
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """Continuous-crawl ingest dedup: files arriving across two
+    AvailableNow triggers, decided against the static materialized
+    index, must produce byte-identical verdicts to ONE batch run of
+    incremental_dedup over all the docs (verdicts are batch-invariant:
+    new-vs-existing only), with each file processed exactly once."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        band_keys, fingerprint, incremental_dedup, minhash_signatures,
+        shingles)
+    from ocr_processing_pipeline_spark.streaming.availablenow import (
+        stream_incremental_dedup)
+
+    body = " ".join(f"tok{i}" for i in range(30))
+    existing = spark.createDataFrame(
+        [(100, body), (101, " ".join(f"old{i}" for i in range(30)))],
+        "doc_id long, text string")
+    new_rows = [(200, body),                        # exact dup of 100
+                (201, body.replace("tok7", "zz")),  # near dup of 100
+                (202, " ".join(f"new{i}" for i in range(30))),
+                (203, " ".join(f"other{i}" for i in range(25)))]
+
+    # materialize the index like dedup_index_dir does
+    idx = str(tmp_path / "index")
+    (existing.select(F.col("doc_id").alias("key"),
+                     fingerprint(F.col("text")).alias("fp"))
+     .write.parquet(os.path.join(idx, "fingerprints.parquet")))
+    (band_keys(minhash_signatures(
+        shingles(existing, "text", "doc_id"), 4), 4, 2, 10000)
+     .write.parquet(os.path.join(idx, "bands.parquet")))
+
+    in_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "sid_ckpt")
+    os.makedirs(in_dir)
+    mk = spark.createDataFrame
+    mk(new_rows[:2], "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    stream_incremental_dedup(spark, in_dir, idx, existing, out_dir,
+                             ckpt).awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 2
+
+    # late files: second trigger drains ONLY them (no re-decisions)
+    mk(new_rows[2:], "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    stream_incremental_dedup(spark, in_dir, idx, existing, out_dir,
+                             ckpt).awaitTermination()
+
+    streamed = sorted(
+        (r.key, r.canonical, r.match_kind)
+        for r in spark.read.parquet(out_dir).collect())
+    batch = sorted(
+        (r.key, r.canonical, r.match_kind)
+        for r in incremental_dedup(
+            mk(new_rows, "doc_id long, text string"), existing,
+            "text", "doc_id", num_hashes=4, band_size=2).collect())
+    assert streamed == batch
+    assert ( (200, 100, "exact") in streamed
+             and (201, 100, "near") in streamed
+             and (202, 202, "unique") in streamed)
