@@ -100,9 +100,14 @@ def canonicalize_url(col):
         F.lower(F.regexp_extract(col, r"^([a-zA-Z]+://[^/?#]*)", 1)),
         F.regexp_replace(col, r"^[a-zA-Z]+://[^/?#]*", ""))
     u = F.regexp_replace(u, r"#.*$", "")
-    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443", r"$1")
-    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80", r"$1")
-    u = F.regexp_replace(u, r"(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*", "")
+    # default ports must be RIGHT-ANCHORED on a path/query boundary or
+    # end-of-string, else ':80' eats the first digits of ':8080'
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?]|$)", r"$1$2")
+    # tracking params must be LEFT-ANCHORED on a separator, else the
+    # pattern fires inside longer names ('my_gclid=') or values ('=gclid=')
+    u = F.regexp_replace(
+        u, r"([?&])(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*", r"$1")
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]+$", "")

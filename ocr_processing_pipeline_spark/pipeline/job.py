@@ -109,8 +109,32 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
         run_buckets = [r.bucket for r in
                        todo.select("bucket").distinct().collect()]
     if not run_buckets:
+        # todo is EMPTY, so every bucket not yet committed has zero
+        # remaining pages — commit its sentinel now, or the no-op fast
+        # path above can never close (e.g. resuming over a checkpoint
+        # whose non-empty buckets are all committed but whose empty
+        # buckets predate sentinel rows). Guard: a fail_after_buckets
+        # run empties todo ARTIFICIALLY (its filter can select zero
+        # buckets), so only a full run may conclude emptiness.
+        if fail_after_buckets is None:
+            missing = sorted(set(range(n_buckets)) - prior_done)
+            if missing:
+                lineage.append_checkpoint(
+                    lineage.empty_bucket_sentinels(spark, missing,
+                                                   "docs"),
+                    checkpoint_path)
         return {"docs": 0, "chunks": 0, "edges": 0, "checkpoint": 0,
                 "skipped": "nothing to do (all buckets committed)"}
+
+    # record the n_buckets contract BEFORE the first data write: docs
+    # parquet lands before the checkpoint rows, so a crash mid-run must
+    # already leave the meta guard in place — otherwise a later resume
+    # with a different n_buckets would pass the check above and
+    # re-bucket a half-written output.
+    if not os.path.exists(meta_path):
+        os.makedirs(out_dir, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
 
     # ONE shuffle: uniform url-hash bucket repartition (skew-proof).
     todo = todo.repartition(min(n_buckets, len(run_buckets)), "bucket")
@@ -182,9 +206,6 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
             ckpt = ckpt.unionByName(
                 lineage.empty_bucket_sentinels(spark, empty, "docs"))
     lineage.append_checkpoint(ckpt, checkpoint_path)
-    if not os.path.exists(meta_path):
-        with open(meta_path, "w") as fh:
-            json.dump({"n_buckets": n_buckets}, fh)
 
     return {
         "docs": spark.read.parquet(docs_path).count(),

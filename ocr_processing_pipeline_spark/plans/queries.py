@@ -2733,10 +2733,11 @@ _URL_CANON_SQL = _URL_SYNTH_SQL + r"""
            FROM c1),
     c3 AS (SELECT doc_id, url,
              regexp_replace(regexp_replace(u,
-               '^(https://[^/:?#]*):443', '\1'),
-               '^(http://[^/:?#]*):80', '\1') AS u FROM c2),
+               '^(https://[^/:?#]*):443([/?]|$)', '\1\2'),
+               '^(http://[^/:?#]*):80([/?]|$)', '\1\2') AS u FROM c2),
     c4 AS (SELECT doc_id, url, regexp_replace(u,
-             '(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*', '', 'g') AS u
+             '([?&])(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*', '\1', 'g')
+             AS u
            FROM c3),
     c5 AS (SELECT doc_id, url,
              regexp_replace(regexp_replace(regexp_replace(u,
@@ -2800,34 +2801,48 @@ def url_host_stats(spark, sf_dir):
 def _materialized_cache_path(prefix: str, sf_dir: str, version: str) -> str:
     """Tagged cache path under .cache for a per-corpus materialized table.
 
-    The tag keys on the absolute input path, a builder version (bump if
-    the producing builder's semantics ever change), AND the input file's
-    mtime+size fingerprint — the test corpus can be regenerated between
-    rounds at the same path, and a stale cache would silently serve the
-    previous corpus's results. Stale siblings (same prefix+base,
-    different tag — i.e. every previous corpus generation) are evicted
+    The stem carries a hash of the ABSOLUTE corpus path; the tag keys on
+    a builder version (bump if the producing builder's semantics ever
+    change) AND the input file's mtime+size fingerprint — the test
+    corpus can be regenerated between rounds at the same path, and a
+    stale cache would silently serve the previous corpus's results.
+    Stale siblings (same prefix+base+path-hash, different tag — i.e.
+    every previous generation of the SAME corpus path) are evicted
     here, BEFORE the caller writes the fresh entry, so the cache holds
     at most one entry per (prefix, corpus path) and cannot grow
-    unboundedly across rounds/test runs (ADVICE r4)."""
+    unboundedly across rounds/test runs (ADVICE r4). The path hash
+    keeps the eviction scope honest: two same-basename corpora at
+    different paths (testdata sf0.01 vs a tmp-dir copy) must coexist,
+    not thrash each other's entries."""
     import glob
     import hashlib
     import shutil
     base = os.path.basename(os.path.normpath(sf_dir))
+    phash = hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:6]
     doc_path = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(doc_path)
         fp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         fp = "missing"
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{version}:{fp}".encode()
-    ).hexdigest()[:8]
+    tag = hashlib.md5(f"{version}:{fp}".encode()).hexdigest()[:8]
     cache_root = "/root/repo/.cache"
-    out = os.path.join(cache_root, f"{prefix}_{base}_{tag}.parquet")
+    out = os.path.join(cache_root,
+                       f"{prefix}_{base}_{phash}_{tag}.parquet")
     for stale in glob.glob(
-            os.path.join(cache_root, f"{prefix}_{base}_*.parquet")):
+            os.path.join(cache_root, f"{prefix}_{base}_{phash}_*.parquet")):
         if os.path.abspath(stale) != os.path.abspath(out):
             shutil.rmtree(stale, ignore_errors=True)
+    # pre-path-hash layout ({prefix}_{base}_{8-hex-tag}.parquet) entries
+    # are unreachable now — drop them too
+    import re
+    legacy_re = re.compile(
+        re.escape(f"{prefix}_{base}_") + r"[0-9a-f]{8}\.parquet$")
+    for legacy in glob.glob(
+            os.path.join(cache_root, f"{prefix}_{base}_*.parquet")):
+        if legacy_re.fullmatch(os.path.basename(legacy)):
+            shutil.rmtree(legacy, ignore_errors=True)
     return out
 
 
@@ -2885,6 +2900,7 @@ def dedup_index_dir(spark, sf_dir: str) -> str:
     incremental architecture."""
     from ..operators.dedup import (band_keys, fingerprint,
                                    minhash_signatures, shingles)
+    import json
     out = _materialized_cache_path("dedup_index", sf_dir, "v1")
     bands_p = os.path.join(out, "bands.parquet")
     fps_p = os.path.join(out, "fingerprints.parquet")
@@ -2897,6 +2913,13 @@ def dedup_index_dir(spark, sf_dir: str) -> str:
             shingles(existing, "text", "doc_id", n=3), 4),
             4, 2, max_bucket_size=10000)
          .write.mode("overwrite").parquet(bands_p))
+        # record the MinHash parameters BESIDE the index: probes built
+        # with different (n, num_hashes, band_size) never band-collide,
+        # so a mismatched consumer would silently find zero near-dups —
+        # stream_incremental_dedup reads and enforces this file
+        with open(os.path.join(out, "params.json"), "w") as fh:
+            json.dump({"n": 3, "num_hashes": 4, "band_size": 2,
+                       "hash_impl": "md5"}, fh)
     return out
 
 

@@ -104,19 +104,34 @@ DOCS_DDL = "doc_id long, text string"
 def stream_incremental_dedup(spark: SparkSession, new_docs_dir: str,
                              index_dir: str, existing_docs: DataFrame,
                              out_dir: str, checkpoint_dir: str, *,
-                             n: int = 3, min_jaccard: float = 0.5,
-                             num_hashes: int = 4, band_size: int = 2):
+                             min_jaccard: float = 0.5,
+                             n: int | None = None,
+                             num_hashes: int | None = None,
+                             band_size: int | None = None):
     """Streaming ingest dedup: newly-arrived doc files are decided
     against the existing corpus's MATERIALIZED index (fingerprints +
     MinHash band keys from ``dedup_index_dir``) and the verdicts
-    appended — the continuous-crawl shape of ``incremental_dedup``.
+    written — the continuous-crawl shape of ``incremental_dedup``.
 
     Trigger.AvailableNow + foreachBatch: the stream checkpoint gives
     exactly-once FILE tracking (a re-run drains only files that arrived
     since), and each micro-batch runs the full batch operator against
     the static index — the canonical Structured-Streaming pattern for
     per-element decisions that need batch-only plans (multi-step aggs +
-    self-joins are not expressible as a raw stream-static join).
+    self-joins are not expressible as a raw stream-static join). The
+    verdict write goes through ``idempotent_parquet_sink`` (per-batch
+    overwrite + ledger marker), because foreachBatch delivery is
+    AT-LEAST-ONCE — a crash between the data write and the epoch commit
+    replays the batch, and a plain append would duplicate its rows.
+    Verdicts land under ``{out_dir}/data/batch_id=N/``.
+
+    MinHash parameters come from the index's own ``params.json`` (written
+    by dedup_index_dir): band keys from mismatched (n, num_hashes,
+    band_size) never join, so every near-dup would silently come back
+    'unique'. Explicit arguments that contradict the recorded params
+    raise; indexes without the params file fall back to the explicit
+    arguments / operator defaults.
+
     Verdicts are BATCH-INVARIANT: a doc's verdict depends only on (doc,
     existing corpus), never on its micro-batch peers (incremental_dedup
     decides new-vs-EXISTING only, by contract), so any file→batch split
@@ -124,18 +139,44 @@ def stream_incremental_dedup(spark: SparkSession, new_docs_dir: str,
     stream==batch parity test.
 
     Returns the started StreamingQuery (caller awaits termination)."""
-    from ..operators.dedup import incremental_dedup
+    import json
+
+    from ..operators.dedup import (DEFAULT_BAND_SIZE, DEFAULT_NUM_HASHES,
+                                   incremental_dedup)
+    from .sinks import idempotent_parquet_sink
+    params = {"n": 3, "num_hashes": DEFAULT_NUM_HASHES,
+              "band_size": DEFAULT_BAND_SIZE}
+    pfile = os.path.join(index_dir, "params.json")
+    recorded = None
+    if os.path.exists(pfile):
+        with open(pfile) as fh:
+            recorded = json.load(fh)
+        params.update(recorded)
+    for name, given in (("n", n), ("num_hashes", num_hashes),
+                        ("band_size", band_size)):
+        if given is None:
+            continue
+        if recorded is not None and name in recorded \
+                and recorded[name] != given:
+            raise ValueError(
+                f"index at {index_dir} was built with {name}="
+                f"{recorded[name]}; stream invoked with {name}={given}. "
+                "Mismatched MinHash parameters never band-collide — "
+                "every near-dup would silently pass as unique.")
+        params[name] = given
+
     fps = spark.read.parquet(os.path.join(index_dir,
                                           "fingerprints.parquet"))
     bands = spark.read.parquet(os.path.join(index_dir, "bands.parquet"))
+    sink = idempotent_parquet_sink(out_dir)
 
-    def decide(batch: DataFrame, _batch_id: int) -> None:
-        (incremental_dedup(batch, existing_docs, "text", "doc_id",
-                           n=n, min_jaccard=min_jaccard,
-                           num_hashes=num_hashes, band_size=band_size,
-                           existing_fingerprints=fps,
-                           existing_band_index=bands)
-         .write.mode("append").parquet(out_dir))
+    def decide(batch: DataFrame, batch_id: int) -> None:
+        sink(incremental_dedup(batch, existing_docs, "text", "doc_id",
+                               n=params["n"], min_jaccard=min_jaccard,
+                               num_hashes=params["num_hashes"],
+                               band_size=params["band_size"],
+                               existing_fingerprints=fps,
+                               existing_band_index=bands), batch_id)
 
     return (spark.readStream.schema(DOCS_DDL).parquet(new_docs_dir)
             .writeStream

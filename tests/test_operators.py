@@ -376,6 +376,13 @@ def test_canonicalize_url_planted_and_idempotent(spark):
         ("https://ex.com/path/?utm_campaign=c", "https://ex.com/path"),
         ("https://ex.com/p?id=2&utm_medium=m&q=3", "https://ex.com/p?id=2&q=3"),
         ("https://ex.com/clean?a=1", "https://ex.com/clean?a=1"),
+        # non-default ports survive intact (':80' must not eat ':8080')
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        ("https://ex.com:4433/x", "https://ex.com:4433/x"),
+        # tracking-param pattern must not fire inside longer names/values
+        ("https://ex.com/p?my_gclid=5&a=1", "https://ex.com/p?my_gclid=5&a=1"),
+        ("https://ex.com/p?q=gclid=zz", "https://ex.com/p?q=gclid=zz"),
+        ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
     got = [r.c for r in df.select(
@@ -388,4 +395,4 @@ def test_canonicalize_url_planted_and_idempotent(spark):
     assert again == got
     hosts = [r.h for r in df.select(url_host(
         canonicalize_url(F.col("url"))).alias("h")).collect()]
-    assert hosts == ["ex.com"] * 5
+    assert hosts == ["ex.com"] * len(rows)

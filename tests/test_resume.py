@@ -104,6 +104,32 @@ def test_noop_fast_path_with_empty_buckets(spark, corpus_dir, tmp_path):
     assert c2["docs"] == 0 and "skipped" in c2
 
 
+def test_empty_todo_resume_backfills_sentinels(spark, corpus_dir, tmp_path):
+    """A checkpoint whose non-empty buckets are all committed but whose
+    empty buckets carry no sentinel rows (e.g. written by a partial run)
+    must be healed by the next full resume: it finds todo empty, commits
+    the missing sentinels, and the no-op fast path closes from then on."""
+    small = str(tmp_path / "small_pages2.parquet")
+    (spark.read.parquet(f"{corpus_dir}/pages.parquet").limit(10)
+     .write.parquet(small))
+    out = str(tmp_path / "out_backfill")
+    n_buckets = 32
+    # partial-mode run that happens to cover every non-empty bucket —
+    # sentinels deliberately NOT committed (fail_after_buckets set)
+    c1 = run_pipeline(spark, small, corpus_dir, out, n_buckets=n_buckets,
+                      fail_after_buckets=n_buckets)
+    assert 0 < c1["checkpoint"] < n_buckets
+    # full resume: todo is empty -> backfills the empty-bucket sentinels
+    c2 = run_pipeline(spark, small, corpus_dir, out, n_buckets=n_buckets)
+    assert "skipped" in c2
+    ckpt = spark.read.parquet(f"{out}/checkpoint")
+    assert ckpt.select("bucket").distinct().count() == n_buckets
+    # and now the no-op fast path never opens the input
+    c3 = run_pipeline(spark, str(tmp_path / "nope.parquet"),
+                      corpus_dir, out, n_buckets=n_buckets)
+    assert "skipped" in c3
+
+
 def test_noop_resume_never_touches_input(spark, corpus_dir, tmp_path):
     """Once every bucket is committed, resume must decide 'nothing to do'
     from the checkpoint table ALONE — at 100 TB a no-op restart cannot

@@ -170,17 +170,22 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
                 (202, " ".join(f"new{i}" for i in range(30))),
                 (203, " ".join(f"other{i}" for i in range(25)))]
 
-    # materialize the index like dedup_index_dir does
+    # materialize the index like dedup_index_dir does (incl. params.json)
+    import json
     idx = str(tmp_path / "index")
+    os.makedirs(idx)
     (existing.select(F.col("doc_id").alias("key"),
                      fingerprint(F.col("text")).alias("fp"))
      .write.parquet(os.path.join(idx, "fingerprints.parquet")))
     (band_keys(minhash_signatures(
         shingles(existing, "text", "doc_id"), 4), 4, 2, 10000)
      .write.parquet(os.path.join(idx, "bands.parquet")))
+    with open(os.path.join(idx, "params.json"), "w") as fh:
+        json.dump({"n": 3, "num_hashes": 4, "band_size": 2}, fh)
 
     in_dir = str(tmp_path / "incoming")
     out_dir = str(tmp_path / "verdicts")
+    data_dir = os.path.join(out_dir, "data")
     ckpt = str(tmp_path / "sid_ckpt")
     os.makedirs(in_dir)
     mk = spark.createDataFrame
@@ -188,7 +193,14 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
         .write.mode("append").parquet(in_dir)
     stream_incremental_dedup(spark, in_dir, idx, existing, out_dir,
                              ckpt).awaitTermination()
-    assert spark.read.parquet(out_dir).count() == 2
+    assert spark.read.parquet(data_dir).count() == 2
+
+    # mismatched MinHash params must be rejected (a silent mismatch
+    # would band-collide nothing and pass every near-dup as unique)
+    import pytest
+    with pytest.raises(ValueError, match="num_hashes"):
+        stream_incremental_dedup(spark, in_dir, idx, existing, out_dir,
+                                 ckpt, num_hashes=8)
 
     # late files: second trigger drains ONLY them (no re-decisions)
     mk(new_rows[2:], "doc_id long, text string").coalesce(1) \
@@ -198,7 +210,7 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
 
     streamed = sorted(
         (r.key, r.canonical, r.match_kind)
-        for r in spark.read.parquet(out_dir).collect())
+        for r in spark.read.parquet(data_dir).collect())
     batch = sorted(
         (r.key, r.canonical, r.match_kind)
         for r in incremental_dedup(
