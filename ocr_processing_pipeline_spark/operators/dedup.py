@@ -334,9 +334,9 @@ def incremental_dedup(new_df: DataFrame, existing_df: DataFrame,
       (a semi-join restriction — at 10^12 docs the verify stage touches
       O(candidates), not the corpus). canonical = min verified existing
       key. Production systems then map canonical through the existing
-      decisions table (one broadcast join) so chains resolve to the
-      snapshot-N canonical; left to the caller because the decisions
-      table is a separate artifact.
+      decisions table so chains resolve to the snapshot-N canonical —
+      ``resolve_canonicals(verdicts, decisions)`` below (one broadcast
+      join; separate because the decisions table is its own artifact).
     - **unique**: everything else; canonical = the doc's own key.
 
     New-vs-new duplicates are deliberately NOT decided here — run the
@@ -413,6 +413,32 @@ def incremental_dedup(new_df: DataFrame, existing_df: DataFrame,
               .select("key", F.col("key").alias("canonical"),
                       F.lit("unique").alias("match_kind")))
     return exact.unionByName(near).unionByName(unique)
+
+
+def resolve_canonicals(verdicts: DataFrame,
+                       decisions: DataFrame) -> DataFrame:
+    """Chain incremental verdicts through the existing corpus's dedup
+    decisions table: a new doc matching existing doc E whose own
+    canonical (from the snapshot-N ``dedup_components`` run) is R must
+    resolve to R, not E — otherwise each snapshot starts a fresh
+    canonical lineage and clusters fragment across snapshots.
+
+    ``decisions`` is the (doc_id, canonical_id) table the decisions dir
+    materializes; it is O(duplicate docs) — broadcastable at any corpus
+    size where the duplicate fraction times 16 bytes fits an executor
+    (filter to canonical_id != doc_id rows upstream for the minimal
+    form). One broadcast left join; 'unique' verdicts (canonical = own
+    key, never in the decisions table's remap) pass through unchanged.
+    """
+    remap = decisions.select(
+        F.col("doc_id").alias("canonical"),
+        F.col("canonical_id").alias("_root"))
+    return (verdicts
+            .join(F.broadcast(remap), "canonical", "left")
+            .select("key",
+                    F.coalesce("_root", F.col("canonical"))
+                    .alias("canonical"),
+                    "match_kind"))
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -556,6 +582,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "gram_array",
            "minhash_signatures", "band_keys", "lsh_candidate_pairs",
-           "jaccard_pairs", "minhash_lsh_dedup", "incremental_dedup",
+           "jaccard_pairs", "minhash_lsh_dedup", "incremental_dedup", "resolve_canonicals",
            "simhash", "simhash_candidates", "connected_components",
            "fingerprint", "normalize_text"]

@@ -119,3 +119,22 @@ def test_incremental_dedup_precomputed_index_identical(spark):
         new, existing, "text", "doc_id", num_hashes=4, band_size=2,
         existing_fingerprints=fps, existing_band_index=idx).collect())
     assert live == mat
+
+
+def test_resolve_canonicals_chains_to_snapshot_root(spark):
+    """A new doc matching existing doc 2 whose own canonical is 1 must
+    resolve to 1 — per-snapshot canonical lineages must not fragment."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        resolve_canonicals)
+    verdicts = spark.createDataFrame(
+        [(200, 2, "near"),      # matched a non-canonical existing doc
+         (201, 1, "exact"),     # matched the root directly
+         (202, 202, "unique")],
+        "key long, canonical long, match_kind string")
+    decisions = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5)],
+        "doc_id long, canonical_id long")
+    out = {r.key: (r.canonical, r.match_kind)
+           for r in resolve_canonicals(verdicts, decisions).collect()}
+    assert out == {200: (1, "near"), 201: (1, "exact"),
+                   202: (202, "unique")}
