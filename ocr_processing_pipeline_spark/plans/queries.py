@@ -2701,6 +2701,39 @@ def media_features(spark, sf_dir):
                      ",").alias("features_csv"))
 
 
+@register(
+    "corpus_shard_assignment",
+    """
+    WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh
+               FROM documents)
+    SELECT doc_id,
+           CAST(('0x' || substr(hh, 1, 8))::BIGINT % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+                PARTITION BY ('0x' || substr(hh, 1, 8))::BIGINT % 8
+                ORDER BY hh, doc_id) AS BIGINT) AS position
+    FROM h
+    """,
+    doc="deterministic training-data sharding: every doc gets a stable "
+        "(shard, position) — shard = md5(doc_id) mod N, position = rank "
+        "of the md5 within the shard — so the training order is a "
+        "reproducible pseudo-random shuffle at ANY cluster size (no RNG "
+        "state, no partition-order dependence; same determinism "
+        "discipline as stratified_sample / corpus_mixture_sample). "
+        "N=8 at test scale; production N is O(corpus/target_shard_"
+        "size) ~ 10^4-10^5, keeping each per-shard sort (the one "
+        "shuffle here) at a bounded reducer size")
+def corpus_shard_assignment(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    hh = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(hh, 1, 8), 16, 10).cast("long") % 8) \
+        .cast("int")
+    w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+    return (d.select("doc_id", hh.alias("hh"), shard.alias("shard"))
+            .withColumn("position",
+                        F.row_number().over(w).cast("long"))
+            .select("doc_id", "shard", "position"))
+
+
 # --- URL canonicalization / host accounting ---------------------------------
 #
 # Crawl-side curation: tracking-param strip + case/port/fragment/slash
@@ -3166,6 +3199,7 @@ _DRIVER_PRIORITY = [
     "snapshot_ingest",
     "url_canonicalize",
     "url_host_stats",
+    "corpus_shard_assignment",
     # r4 row was rows-only; gained its DuckDB oracle in r5 — needs a
     # hash-matched driver row
     "media_features",
