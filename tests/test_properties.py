@@ -236,3 +236,73 @@ def test_shingles_match_python_reference(spark, texts, n):
         got.setdefault(r.key, set()).add(r.shingle)
     expect = {i: ref(t) for i, t in rows if ref(t)}
     assert got == expect
+
+
+# --- incremental_dedup invariants (random tiny-alphabet corpora) -----------
+
+def _py_norm(t):
+    import re
+    return re.sub(r"\s+", " ", t.strip().lower())
+
+
+def _py_fp(t):
+    import hashlib
+    return hashlib.md5(_py_norm(t).encode()).hexdigest()
+
+
+def _py_shingles(t, n=3):
+    toks = _py_norm(t).split(" ")
+    grams = [" ".join(toks[i:i + n])
+             for i in range(max(len(toks) - n + 1, 1))]
+    return {g for g in grams if g}
+
+
+def _py_jaccard(a, b):
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+_words = st.lists(st.sampled_from(list("abcde")), min_size=3, max_size=10)
+_corpus = st.lists(_words, min_size=1, max_size=4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(old=_corpus, new=_corpus)
+def test_incremental_dedup_invariants(spark, old, new):
+    """Random tiny-alphabet snapshots: (1) exactly one verdict per new
+    doc; (2) 'exact' iff the fingerprint exists in the existing corpus,
+    canonical = min such key; (3) 'unique' canonical = own key and
+    fingerprint NOT in existing; (4) 'near' canonical is an existing
+    key whose true shingle Jaccard with the new doc is >= threshold."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        incremental_dedup)
+    old_rows = [(i, " ".join(ws)) for i, ws in enumerate(old)]
+    new_rows = [(100 + i, " ".join(ws)) for i, ws in enumerate(new)]
+    existing = spark.createDataFrame(old_rows, "doc_id long, text string")
+    incoming = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out = incremental_dedup(incoming, existing, "text", "doc_id",
+                            num_hashes=4, band_size=2,
+                            min_jaccard=0.5).collect()
+
+    old_text = dict(old_rows)
+    old_fps = {}
+    for k, t in old_rows:
+        old_fps.setdefault(_py_fp(t), []).append(k)
+    verdicts = {}
+    for r in out:
+        assert r.key not in verdicts, "duplicate verdict row"
+        verdicts[r.key] = r
+    assert set(verdicts) == {k for k, _ in new_rows}
+
+    for k, t in new_rows:
+        r = verdicts[k]
+        fp = _py_fp(t)
+        if r.match_kind == "exact":
+            assert fp in old_fps and r.canonical == min(old_fps[fp])
+        elif r.match_kind == "unique":
+            assert r.canonical == k and fp not in old_fps
+        else:
+            assert r.match_kind == "near"
+            assert fp not in old_fps          # exact takes precedence
+            assert r.canonical in old_text
+            assert _py_jaccard(t, old_text[r.canonical]) >= 0.5
