@@ -115,10 +115,24 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
         # whose non-empty buckets are all committed but whose empty
         # buckets predate sentinel rows). Guard: a fail_after_buckets
         # run empties todo ARTIFICIALLY (its filter can select zero
-        # buckets), so only a full run may conclude emptiness.
+        # buckets), so only a full run may conclude emptiness. The
+        # committed set is re-read here rather than reusing prior_done:
+        # a resume=False run never populated it, and range - {} would
+        # stack full-range 'empty' sentinels onto buckets that hold
+        # real committed rows.
         if fail_after_buckets is None:
-            missing = sorted(set(range(n_buckets)) - prior_done)
+            committed: set[int] = set()
+            if lineage._exists(checkpoint_path):
+                committed = {r.bucket for r in lineage.committed_buckets(
+                    spark, checkpoint_path, "docs").collect()}
+            missing = sorted(set(range(n_buckets)) - committed)
             if missing:
+                # sentinels are checkpoint state too — the n_buckets
+                # contract must land first (same invariant as below)
+                if not os.path.exists(meta_path):
+                    os.makedirs(out_dir, exist_ok=True)
+                    with open(meta_path, "w") as fh:
+                        json.dump({"n_buckets": n_buckets}, fh)
                 lineage.append_checkpoint(
                     lineage.empty_bucket_sentinels(spark, missing,
                                                    "docs"),

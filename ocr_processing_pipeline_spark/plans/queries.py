@@ -2937,8 +2937,20 @@ def dedup_index_dir(spark, sf_dir: str) -> str:
     out = _materialized_cache_path("dedup_index", sf_dir, "v1")
     bands_p = os.path.join(out, "bands.parquet")
     fps_p = os.path.join(out, "fingerprints.parquet")
-    if not os.path.exists(os.path.join(bands_p, "_SUCCESS")):
+    params_p = os.path.join(out, "params.json")
+    if not (os.path.exists(os.path.join(bands_p, "_SUCCESS"))
+            and os.path.exists(params_p)):
         existing, _ = _half_docs(spark, sf_dir)
+        # record the MinHash parameters BESIDE the index FIRST: probes
+        # built with different (n, num_hashes, band_size) never band-
+        # collide, so a mismatched consumer would silently find zero
+        # near-dups — stream_incremental_dedup reads and enforces this
+        # file, and the rebuild guard above also requires it, so a
+        # crash mid-build can never leave a params-less index behind
+        os.makedirs(out, exist_ok=True)
+        with open(params_p, "w") as fh:
+            json.dump({"n": 3, "num_hashes": 4, "band_size": 2,
+                       "hash_impl": "md5"}, fh)
         (existing.select(F.col("doc_id").alias("key"),
                          fingerprint(F.col("text")).alias("fp"))
          .write.mode("overwrite").parquet(fps_p))
@@ -2946,13 +2958,6 @@ def dedup_index_dir(spark, sf_dir: str) -> str:
             shingles(existing, "text", "doc_id", n=3), 4),
             4, 2, max_bucket_size=10000)
          .write.mode("overwrite").parquet(bands_p))
-        # record the MinHash parameters BESIDE the index: probes built
-        # with different (n, num_hashes, band_size) never band-collide,
-        # so a mismatched consumer would silently find zero near-dups —
-        # stream_incremental_dedup reads and enforces this file
-        with open(os.path.join(out, "params.json"), "w") as fh:
-            json.dump({"n": 3, "num_hashes": 4, "band_size": 2,
-                       "hash_impl": "md5"}, fh)
     return out
 
 

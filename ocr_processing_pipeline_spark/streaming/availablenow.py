@@ -141,11 +141,14 @@ def stream_incremental_dedup(spark: SparkSession, new_docs_dir: str,
     Returns the started StreamingQuery (caller awaits termination)."""
     import json
 
-    from ..operators.dedup import (DEFAULT_BAND_SIZE, DEFAULT_NUM_HASHES,
-                                   incremental_dedup)
+    from ..operators.dedup import incremental_dedup
     from .sinks import idempotent_parquet_sink
-    params = {"n": 3, "num_hashes": DEFAULT_NUM_HASHES,
-              "band_size": DEFAULT_BAND_SIZE}
+    # fallback for params-less indexes must match what dedup_index_dir
+    # BUILDS (4 hashes, 2-band), not the dedup module's generic default
+    # of 8 — an 8-hash probe against a 4-hash index only works by the
+    # accident that md5-lane h0..h3 is a prefix of the 8-hash family
+    # (and pays double signature hashing even then)
+    params = {"n": 3, "num_hashes": 4, "band_size": 2}
     pfile = os.path.join(index_dir, "params.json")
     recorded = None
     if os.path.exists(pfile):

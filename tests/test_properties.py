@@ -241,8 +241,10 @@ def test_shingles_match_python_reference(spark, texts, n):
 # --- incremental_dedup invariants (random tiny-alphabet corpora) -----------
 
 def _py_norm(t):
+    # mirror normalize_text exactly: trim SPACES (not all ws) — same
+    # load-bearing detail as test_shingles_match_python_reference's ref
     import re
-    return re.sub(r"\s+", " ", t.strip().lower())
+    return re.sub(r"\s+", " ", t.strip(" ").lower())
 
 
 def _py_fp(t):
