@@ -483,7 +483,9 @@ def simhash(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
 
 
 def simhash_candidates(sig: DataFrame, n_bands: int = 4,
-                       max_bucket_size: int | None = 10000) -> DataFrame:
+                       max_bucket_size: int | None = 10000,
+                       max_hamming: int | None = None,
+                       checkpoint: bool = True) -> DataFrame:
     """Banded hamming candidates with a recall GUARANTEE.
 
     The signature is split into ``n_bands`` disjoint bit bands; keys
@@ -494,6 +496,22 @@ def simhash_candidates(sig: DataFrame, n_bands: int = 4,
     bit lands inside the prefix). ``max_bucket_size`` mirrors
     lsh_candidate_pairs: a band value shared by millions of boilerplate
     pages would otherwise go O(bucket²) in the self-join.
+
+    ``max_hamming`` applies the verify threshold BEFORE the pair
+    dedup: the hamming distance is a per-pair deterministic value, so
+    filter-then-distinct is value-identical to distinct-then-filter —
+    but the distinct (the one pair-sized shuffle here) then carries
+    only the verified pairs instead of every band collision (~13× fewer
+    rows at sf0.1). Callers wanting the full candidate set with
+    distances (recall studies) leave it None.
+
+    ``checkpoint`` materializes the (key, simhash, band) projection
+    once before the self-join: both join legs otherwise re-derive the
+    whole signature lineage — and the SimHash fold is an INTERPRETED
+    higher-order aggregate (the most expensive kind of projection to
+    compute twice). Same shared-leg rationale as jaccard_pairs /
+    bm25_scores; ``False`` opts out for serving (see search.py module
+    docstring for the lineage-truncation trade).
     """
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
@@ -509,16 +527,19 @@ def simhash_candidates(sig: DataFrame, n_bands: int = 4,
                   .withColumn("_bn", F.count(F.lit(1)).over(w))
                   .filter(F.col("_bn") <= max_bucket_size)
                   .drop("_bn"))
+    if checkpoint:
+        banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
-    return (a.join(b, "band")
-            .filter(F.col("a.key") < F.col("b.key"))
-            .select(F.col("a.key").alias("key_a"),
-                    F.col("b.key").alias("key_b"),
-                    F.col("a.simhash").alias("sim_a"),
-                    F.col("b.simhash").alias("sim_b"))
-            .distinct()
-            .withColumn("hamming", F.bit_count(
-                F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
+    pairs = (a.join(b, "band")
+             .filter(F.col("a.key") < F.col("b.key"))
+             .select(F.col("a.key").alias("key_a"),
+                     F.col("b.key").alias("key_b"),
+                     F.col("a.simhash").alias("sim_a"),
+                     F.col("b.simhash").alias("sim_b")))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    if max_hamming is not None:
+        pairs = pairs.filter(hamming <= max_hamming)
+    return pairs.distinct().withColumn("hamming", hamming)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

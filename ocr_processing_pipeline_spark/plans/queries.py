@@ -825,10 +825,14 @@ def simhash_near_dup_pairs(spark, sf_dir):
     from ..operators.dedup import simhash, simhash_candidates
     d = _t(spark, sf_dir, "documents")
     sig = simhash(d, "text", "doc_id")
-    cand = simhash_candidates(sig, n_bands=4, max_bucket_size=10000)
-    return (cand.filter(F.col("hamming") <= 3)
-            .select("key_a", "key_b",
-                    F.col("hamming").cast("int").alias("hamming")))
+    # max_hamming pushes the verify threshold BELOW the pair-distinct:
+    # the one pair-sized shuffle carries verified pairs only (~13x
+    # fewer rows than the raw band collisions); value-identical to
+    # filtering after (per-pair deterministic hamming)
+    cand = simhash_candidates(sig, n_bands=4, max_bucket_size=10000,
+                              max_hamming=3)
+    return cand.select("key_a", "key_b",
+                       F.col("hamming").cast("int").alias("hamming"))
 
 
 # =============================================================================
