@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2
 
+# The parameters the materialized snapshot dedup index is BUILT with
+# (dedup_index_dir writes these to the index's params.json; the
+# streaming probe falls back to them for params-less indexes). One
+# constant, two consumers — band keys from mismatched parameters never
+# collide, so the two sites must never drift apart.
+INDEX_BUILD_PARAMS = {"n": 3, "num_hashes": 4, "band_size": 2,
+                      "hash_impl": "md5"}
+
 
 def normalize_text(col):
     """Whitespace-collapsed, lowercased — the dedup canonical form."""

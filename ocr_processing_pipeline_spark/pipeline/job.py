@@ -42,6 +42,16 @@ from . import ner as ner_mod
 DEFAULT_N_BUCKETS = 64
 
 
+def _ensure_meta(out_dir: str, meta_path: str, n_buckets: int) -> None:
+    """Record the n_buckets contract once, BEFORE any checkpoint state
+    or data write lands under out_dir (both write sites share this so
+    the ordering invariant can't drift between them)."""
+    if not os.path.exists(meta_path):
+        os.makedirs(out_dir, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
+
+
 def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
                  out_dir: str, n_buckets: int = DEFAULT_N_BUCKETS,
                  resume: bool = True,
@@ -115,24 +125,22 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
         # whose non-empty buckets are all committed but whose empty
         # buckets predate sentinel rows). Guard: a fail_after_buckets
         # run empties todo ARTIFICIALLY (its filter can select zero
-        # buckets), so only a full run may conclude emptiness. The
-        # committed set is re-read here rather than reusing prior_done:
-        # a resume=False run never populated it, and range - {} would
-        # stack full-range 'empty' sentinels onto buckets that hold
-        # real committed rows.
+        # buckets), so only a full run may conclude emptiness. With
+        # resume=True, prior_done already IS the committed set (read
+        # moments ago, nothing written since); only a resume=False run
+        # (which skipped that read) must fetch it here — range - {}
+        # would otherwise stack full-range 'empty' sentinels onto
+        # buckets that hold real committed rows.
         if fail_after_buckets is None:
-            committed: set[int] = set()
-            if lineage._exists(checkpoint_path):
+            committed = prior_done
+            if not resume and lineage._exists(checkpoint_path):
                 committed = {r.bucket for r in lineage.committed_buckets(
                     spark, checkpoint_path, "docs").collect()}
             missing = sorted(set(range(n_buckets)) - committed)
             if missing:
                 # sentinels are checkpoint state too — the n_buckets
                 # contract must land first (same invariant as below)
-                if not os.path.exists(meta_path):
-                    os.makedirs(out_dir, exist_ok=True)
-                    with open(meta_path, "w") as fh:
-                        json.dump({"n_buckets": n_buckets}, fh)
+                _ensure_meta(out_dir, meta_path, n_buckets)
                 lineage.append_checkpoint(
                     lineage.empty_bucket_sentinels(spark, missing,
                                                    "docs"),
@@ -145,10 +153,7 @@ def run_pipeline(spark: SparkSession, pages_path: str, gazetteers_dir: str,
     # already leave the meta guard in place — otherwise a later resume
     # with a different n_buckets would pass the check above and
     # re-bucket a half-written output.
-    if not os.path.exists(meta_path):
-        os.makedirs(out_dir, exist_ok=True)
-        with open(meta_path, "w") as fh:
-            json.dump({"n_buckets": n_buckets}, fh)
+    _ensure_meta(out_dir, meta_path, n_buckets)
 
     # ONE shuffle: uniform url-hash bucket repartition (skew-proof).
     todo = todo.repartition(min(n_buckets, len(run_buckets)), "bucket")

@@ -2935,8 +2935,9 @@ def dedup_index_dir(spark, sf_dir: str) -> str:
     pattern as dedup_decisions_dir); dedup_incremental PROBES these
     instead of re-hashing the existing corpus — the whole point of the
     incremental architecture."""
-    from ..operators.dedup import (band_keys, fingerprint,
-                                   minhash_signatures, shingles)
+    from ..operators.dedup import (INDEX_BUILD_PARAMS, band_keys,
+                                   fingerprint, minhash_signatures,
+                                   shingles)
     import json
     out = _materialized_cache_path("dedup_index", sf_dir, "v1")
     bands_p = os.path.join(out, "bands.parquet")
@@ -2951,16 +2952,17 @@ def dedup_index_dir(spark, sf_dir: str) -> str:
         # near-dups — stream_incremental_dedup reads and enforces this
         # file, and the rebuild guard above also requires it, so a
         # crash mid-build can never leave a params-less index behind
+        p = INDEX_BUILD_PARAMS
         os.makedirs(out, exist_ok=True)
         with open(params_p, "w") as fh:
-            json.dump({"n": 3, "num_hashes": 4, "band_size": 2,
-                       "hash_impl": "md5"}, fh)
+            json.dump(p, fh)
         (existing.select(F.col("doc_id").alias("key"),
                          fingerprint(F.col("text")).alias("fp"))
          .write.mode("overwrite").parquet(fps_p))
         (band_keys(minhash_signatures(
-            shingles(existing, "text", "doc_id", n=3), 4),
-            4, 2, max_bucket_size=10000)
+            shingles(existing, "text", "doc_id", n=p["n"]),
+            p["num_hashes"]),
+            p["num_hashes"], p["band_size"], max_bucket_size=10000)
          .write.mode("overwrite").parquet(bands_p))
     return out
 

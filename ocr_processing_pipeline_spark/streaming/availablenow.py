@@ -141,14 +141,15 @@ def stream_incremental_dedup(spark: SparkSession, new_docs_dir: str,
     Returns the started StreamingQuery (caller awaits termination)."""
     import json
 
-    from ..operators.dedup import incremental_dedup
+    from ..operators.dedup import INDEX_BUILD_PARAMS, incremental_dedup
     from .sinks import idempotent_parquet_sink
-    # fallback for params-less indexes must match what dedup_index_dir
-    # BUILDS (4 hashes, 2-band), not the dedup module's generic default
-    # of 8 — an 8-hash probe against a 4-hash index only works by the
-    # accident that md5-lane h0..h3 is a prefix of the 8-hash family
-    # (and pays double signature hashing even then)
-    params = {"n": 3, "num_hashes": 4, "band_size": 2}
+    # fallback for params-less indexes is the SHARED build constant —
+    # what dedup_index_dir actually writes — not the dedup module's
+    # generic default of 8 hashes: an 8-hash probe against a 4-hash
+    # index only works by the accident that md5-lane h0..h3 is a prefix
+    # of the 8-hash family (and pays double signature hashing even then)
+    params = {k: INDEX_BUILD_PARAMS[k]
+              for k in ("n", "num_hashes", "band_size")}
     pfile = os.path.join(index_dir, "params.json")
     recorded = None
     if os.path.exists(pfile):
