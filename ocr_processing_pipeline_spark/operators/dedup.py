@@ -550,6 +550,12 @@ def simhash_candidates(sig: DataFrame, n_bands: int = 4,
     return pairs.distinct().withColumn("hamming", hamming)
 
 
+# rounds of plain min-label propagation before pointer jumping engages:
+# near-clique dedup clusters converge inside this budget and never pay
+# the extra per-round self-join; only long drift chains go logarithmic
+_JUMP_AFTER = 3
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """(key, component) over an undirected pair graph — dedup clusters.
 
@@ -562,13 +568,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     convergence check is the only driver-side action, O(1) per round).
     ``component`` = min key of the cluster = the canonical id.
 
-    Labels spread one hop per round, so a pair chain longer than
-    ``max_iter`` hops (sequential template drift) would exit the loop
-    un-converged with silently SPLIT components — that case raises
-    instead (detected by the same O(1)-row probe the loop already runs).
-    The loop runs up to ``max_iter`` propagation rounds PLUS one
-    confirmation round: a graph whose diameter is exactly ``max_iter``
-    converges on the last round and must not be mistaken for a cap exit.
+    Labels spread one hop per round, so long CHAINS (sequential template
+    drift — doc A ~ B ~ C ~ … with no short-cut pairs) would need
+    O(chain length) rounds. From round ``_JUMP_AFTER`` on, the loop adds
+    POINTER JUMPING (comp := comp(comp), one extra self-join per round):
+    reach then doubles per round, so convergence is O(log diameter) —
+    a 60-hop drift chain closes in ~10 rounds instead of 60. The first
+    rounds stay jump-free because real dedup clusters are near-cliques
+    that converge in 2-3 rounds — the common case never pays the extra
+    join.
+
+    A graph that still hasn't converged after ``max_iter`` rounds
+    (diameter beyond ~2^(max_iter - _JUMP_AFTER) — pathological) raises
+    instead of returning silently SPLIT components (detected by the
+    same O(1)-row probe the loop already runs). The loop runs up to
+    ``max_iter`` propagation rounds PLUS one confirmation round: a
+    graph converging exactly on the last round must not be mistaken
+    for a cap exit.
     """
     e = pairs.select(F.col("key_a").alias("src"),
                      F.col("key_b").alias("dst"))
@@ -581,7 +597,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (edges.select(F.col("src").alias("key")).distinct()
               .withColumn("comp", F.col("key")))
     changed = 1
-    for _ in range(max_iter + 1):   # +1: the zero-change proof round
+    for rnd in range(max_iter + 1):   # +1: the zero-change proof round
         nbr_min = (edges
                    .join(labels.withColumnRenamed("key", "dst"), "dst")
                    .groupBy(F.col("src").alias("key"))
@@ -597,6 +613,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                               (F.col("nbr_comp").isNotNull()
                                & (F.col("nbr_comp") < F.col("comp")))
                               .alias("chg")))
+        if rnd >= _JUMP_AFTER:
+            # pointer jumping: comp := comp(comp). Every comp value is
+            # itself a node key (labels start as self and only ever
+            # take mins of other labels), so the left join always hits;
+            # comp(comp) ≤ comp by the same monotonicity, hence least()
+            # only ever improves. Reach doubles per jumping round.
+            jump = new_labels.select(F.col("key").alias("_jkey"),
+                                     F.col("comp").alias("_jcomp"))
+            new_labels = (new_labels
+                          .join(jump,
+                                new_labels["comp"] == jump["_jkey"],
+                                "left")
+                          .select("key",
+                                  F.least("comp", "_jcomp").alias("comp"),
+                                  (F.col("chg")
+                                   | (F.col("_jcomp") < F.col("comp")))
+                                  .alias("chg")))
         new_labels = new_labels.localCheckpoint()  # cut iterative lineage
         changed = new_labels.filter("chg").limit(1).count()
         labels = new_labels.drop("chg")

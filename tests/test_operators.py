@@ -396,3 +396,16 @@ def test_canonicalize_url_planted_and_idempotent(spark):
     hosts = [r.h for r in df.select(url_host(
         canonicalize_url(F.col("url"))).alias("h")).collect()]
     assert hosts == ["ex.com"] * len(rows)
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-hop drift chain must converge well inside max_iter=12:
+    plain propagation would need 60 rounds, but pointer jumping engages
+    after round 3 and reach doubles per round (O(log diameter))."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        connected_components)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "key_a long, key_b long")
+    comp = {r.key: r.component
+            for r in connected_components(chain, max_iter=12).collect()}
+    assert len(comp) == 61 and set(comp.values()) == {0}
