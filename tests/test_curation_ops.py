@@ -138,3 +138,41 @@ def test_resolve_canonicals_chains_to_snapshot_root(spark):
            for r in resolve_canonicals(verdicts, decisions).collect()}
     assert out == {200: (1, "near"), 201: (1, "exact"),
                    202: (202, "unique")}
+
+
+def test_cross_snapshot_composition_end_to_end(spark):
+    """The full snapshot-N+1 story composed from the real operators:
+    snapshot-N decisions (connected components over near-dup pairs) +
+    incremental verdicts for snapshot N+1 + resolve_canonicals — a new
+    doc matching a NON-canonical member of an existing cluster must
+    land on the cluster's root."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        connected_components, incremental_dedup, minhash_lsh_dedup,
+        resolve_canonicals)
+    from pyspark.sql import functions as F
+    body = " ".join(f"w{i}" for i in range(30))
+    drift1 = body.replace("w3", "x")         # near dup of body
+    existing = spark.createDataFrame(
+        [(1, body), (2, drift1),             # cluster {1,2}, root 1
+         (5, " ".join(f"q{i}" for i in range(30)))],
+        "doc_id long, text string")
+    # snapshot-N decisions from the real within-corpus chain
+    pairs = minhash_lsh_dedup(existing, "text", "doc_id", n=3,
+                              min_jaccard=0.5, num_hashes=4, band_size=2)
+    decisions = (connected_components(pairs)
+                 .select(F.col("key").alias("doc_id"),
+                         F.col("component").alias("canonical_id")))
+    assert {(r.doc_id, r.canonical_id) for r in decisions.collect()} \
+        == {(1, 1), (2, 1)}
+    # snapshot N+1: a re-crawl of doc 2 (the NON-canonical member)
+    new = spark.createDataFrame(
+        [(10, drift1),                       # exact dup of 2 -> root 1
+         (11, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string")
+    verdicts = incremental_dedup(new, existing, "text", "doc_id",
+                                 num_hashes=4, band_size=2)
+    resolved = {r.key: (r.canonical, r.match_kind)
+                for r in resolve_canonicals(verdicts,
+                                            decisions).collect()}
+    assert resolved[10] == (1, "exact")      # chained 2 -> 1
+    assert resolved[11] == (11, "unique")
