@@ -628,7 +628,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                           .select("key",
                                   F.least("comp", "_jcomp").alias("comp"),
                                   (F.col("chg")
-                                   | (F.col("_jcomp") < F.col("comp")))
+                                   | F.coalesce(
+                                       F.col("_jcomp") < F.col("comp"),
+                                       F.lit(False)))
                                   .alias("chg")))
         new_labels = new_labels.localCheckpoint()  # cut iterative lineage
         changed = new_labels.filter("chg").limit(1).count()

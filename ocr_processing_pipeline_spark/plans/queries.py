@@ -2778,10 +2778,10 @@ _URL_CANON_SQL = _URL_SYNTH_SQL + r"""
            FROM c3),
     c5 AS (SELECT doc_id, url,
              regexp_replace(regexp_replace(regexp_replace(u,
-               '&&+', '&', 'g'), '\?&', '?'), '[?&]+$', '') AS u
+               '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '') AS u
            FROM c4),
     canon AS (SELECT doc_id, url,
-                regexp_replace(regexp_replace(u, '/+\?', '?'),
+                regexp_replace(regexp_replace(u, '/+\?', '?', 'g'),
                                '([^/])/$', '\1') AS u
               FROM c5)"""
 
@@ -2835,7 +2835,8 @@ def url_host_stats(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
-def _materialized_cache_path(prefix: str, sf_dir: str, version: str) -> str:
+def _materialized_cache_path(prefix: str, sf_dir: str, version: str,
+                             evict_stale: bool = False) -> str:
     """Tagged cache path under .cache for a per-corpus materialized table.
 
     The stem carries a hash of the ABSOLUTE corpus path; the tag keys on
@@ -2843,11 +2844,13 @@ def _materialized_cache_path(prefix: str, sf_dir: str, version: str) -> str:
     change) AND the input file's mtime+size fingerprint — the test
     corpus can be regenerated between rounds at the same path, and a
     stale cache would silently serve the previous corpus's results.
-    Stale siblings (same prefix+base+path-hash, different tag — i.e.
-    every previous generation of the SAME corpus path) are evicted
-    here, BEFORE the caller writes the fresh entry, so the cache holds
-    at most one entry per (prefix, corpus path) and cannot grow
-    unboundedly across rounds/test runs (ADVICE r4). The path hash
+    With ``evict_stale=True`` (writer side ONLY — called just before a
+    fresh entry is written, never from a read path, so a concurrent
+    reader of the old entry is never yanked mid-scan; ADVICE r5), stale
+    siblings (same prefix+base+path-hash, different tag — i.e. every
+    previous generation of the SAME corpus path) are evicted so the
+    cache holds at most one entry per (prefix, corpus path) and cannot
+    grow unboundedly across rounds/test runs (ADVICE r4). The path hash
     keeps the eviction scope honest: two same-basename corpora at
     different paths (testdata sf0.01 vs a tmp-dir copy) must coexist,
     not thrash each other's entries."""
@@ -2867,6 +2870,8 @@ def _materialized_cache_path(prefix: str, sf_dir: str, version: str) -> str:
     cache_root = "/root/repo/.cache"
     out = os.path.join(cache_root,
                        f"{prefix}_{base}_{phash}_{tag}.parquet")
+    if not evict_stale:
+        return out
     for stale in glob.glob(
             os.path.join(cache_root, f"{prefix}_{base}_{phash}_*.parquet")):
         if os.path.abspath(stale) != os.path.abspath(out):
@@ -2898,6 +2903,8 @@ def dedup_decisions_dir(spark, sf_dir: str) -> str:
     # version: bump if dedup_components' semantics ever change
     out = _materialized_cache_path("dedup_components", sf_dir, "v1")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _materialized_cache_path("dedup_components", sf_dir, "v1",
+                                 evict_stale=True)
         QUERIES["dedup_components"].fn(spark, sf_dir) \
             .write.mode("overwrite").parquet(out)
     return out
@@ -2945,6 +2952,8 @@ def dedup_index_dir(spark, sf_dir: str) -> str:
     params_p = os.path.join(out, "params.json")
     if not (os.path.exists(os.path.join(bands_p, "_SUCCESS"))
             and os.path.exists(params_p)):
+        _materialized_cache_path("dedup_index", sf_dir, "v1",
+                                 evict_stale=True)
         existing, _ = _half_docs(spark, sf_dir)
         # record the MinHash parameters BESIDE the index FIRST: probes
         # built with different (n, num_hashes, band_size) never band-
@@ -3082,7 +3091,8 @@ _INCREMENTAL_SQL = f"""
         "existing doc re-keyed +1e6, same bytes — the web reality the "
         "exact phase exists for), identically on both sides")
 def dedup_incremental(spark, sf_dir):
-    from ..operators.dedup import incremental_dedup
+    import json
+    from ..operators.dedup import INDEX_BUILD_PARAMS, incremental_dedup
     existing, new = _half_docs(spark, sf_dir)
     recrawled = (existing.filter(F.col("doc_id") % 25 == 0)
                  .select((F.col("doc_id") + 1000000).alias("doc_id"),
@@ -3091,9 +3101,20 @@ def dedup_incremental(spark, sf_dir):
     idx_dir = dedup_index_dir(spark, sf_dir)
     fps = spark.read.parquet(os.path.join(idx_dir, "fingerprints.parquet"))
     bands = spark.read.parquet(os.path.join(idx_dir, "bands.parquet"))
+    # probe with the params the index was BUILT with (its params.json,
+    # written first by dedup_index_dir) — mismatched MinHash params
+    # band-collide nothing and every near-dup would silently come back
+    # 'unique' (ADVICE r5; same enforcement as stream_incremental_dedup)
+    with open(os.path.join(idx_dir, "params.json")) as fh:
+        p = json.load(fh)
+    assert {k: p[k] for k in ("n", "num_hashes", "band_size")} == \
+        {k: INDEX_BUILD_PARAMS[k] for k in ("n", "num_hashes",
+                                            "band_size")}, \
+        f"dedup index params drifted from INDEX_BUILD_PARAMS: {p}"
     out = incremental_dedup(new, existing, "text", "doc_id",
-                            n=3, min_jaccard=0.5, num_hashes=4,
-                            band_size=2,
+                            n=p["n"], min_jaccard=0.5,
+                            num_hashes=p["num_hashes"],
+                            band_size=p["band_size"],
                             existing_fingerprints=fps,
                             existing_band_index=bands)
     return out.select(F.col("key").alias("doc_id"),
@@ -3110,6 +3131,8 @@ def dedup_verdicts_dir(spark, sf_dir: str) -> str:
     snapshot, not re-probed inside every composed query)."""
     out = _materialized_cache_path("dedup_verdicts", sf_dir, "v1")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _materialized_cache_path("dedup_verdicts", sf_dir, "v1",
+                                 evict_stale=True)
         QUERIES["dedup_incremental"].fn(spark, sf_dir) \
             .write.mode("overwrite").parquet(out)
     return out
