@@ -449,6 +449,82 @@ def resolve_canonicals(verdicts: DataFrame,
                     "match_kind"))
 
 
+def snapshot_admission(new_df: DataFrame, verdicts: DataFrame,
+                       decisions: DataFrame, text_col: str, key_col: str,
+                       *, n: int = 3, min_jaccard: float = 0.5,
+                       num_hashes: int = DEFAULT_NUM_HASHES,
+                       band_size: int = DEFAULT_BAND_SIZE) -> DataFrame:
+    """Full per-crawl-drop admission decision: ONE row per incoming doc.
+
+    The production composition a training-data team runs when crawl
+    snapshot N+1 lands (reference analogue: the load loop that checks
+    Weaviate for an existing url before inserting,
+    Data/Weaviate/deduplicate.py:16-26, generalized to content + near
+    matches and decided set-at-a-time, not row-at-a-time). Ordered
+    decision procedure — each phase only sees what the previous phases
+    left, so the MOST expensive stage (the within-snapshot LSH +
+    connected components) runs over the SMALLEST set:
+
+    1. **cross-snapshot** (``verdicts`` = ``incremental_dedup`` output,
+       served from the materialized verdicts table): exact/near matches
+       of the existing corpus, canonicals CHAINED through the existing
+       ``decisions`` table via :func:`resolve_canonicals` (one broadcast
+       join) so a new doc matching existing doc E whose snapshot-N
+       canonical is R resolves to R — clusters never fragment across
+       snapshots. A doc that is simultaneously a new∪new dup AND a
+       match of the existing corpus is decided HERE (cross wins): its
+       canonical is the existing root, never a fresh new-snapshot id.
+    2. **exact new∪new** (``match_kind='exact_new'``): fingerprint
+       groupBy over the cross-unique survivors; canonical = min new key
+       of the byte-identical group. One shuffle on the 16-byte fp.
+    3. **near new∪new** (``'near_new'``): ``minhash_lsh_dedup`` →
+       ``connected_components`` over what remains; canonical = min key
+       of the within-snapshot cluster. These canonicals are new-snapshot
+       keys and deliberately NOT chained through ``decisions`` — the
+       cluster root is itself cross-unique by construction, so it IS the
+       doc being admitted.
+    4. **unique**: everything else; canonical = own key.
+
+    Returns (key, canonical, match_kind) with match_kind ∈
+    {'exact', 'near', 'exact_new', 'near_new', 'unique'}. Admission =
+    match_kind == 'unique' (optionally ∧ a quality gate, composed by the
+    caller). At 10^12 docs every stage is bounded: the existing corpus
+    is only ever PROBED through its materialized fingerprint/band
+    artifacts (inside ``verdicts``), the decisions remap is a broadcast,
+    and the LSH self-join sees only the cross-unique remainder."""
+    resolved = resolve_canonicals(verdicts, decisions)
+    cross = resolved.filter(F.col("match_kind") != "unique")
+    uniq_keys = (resolved.filter(F.col("match_kind") == "unique")
+                 .select(F.col("key").alias(key_col)))
+    uniq_docs = new_df.join(uniq_keys, key_col, "left_semi")
+    fp = uniq_docs.select(F.col(key_col).alias("key"),
+                          fingerprint(F.col(text_col)).alias("fp"))
+    fp_canon = fp.groupBy("fp").agg(F.min("key").alias("canonical"))
+    exact_new = (fp.join(fp_canon, "fp")
+                 .filter(F.col("key") != F.col("canonical"))
+                 .select("key", "canonical",
+                         F.lit("exact_new").alias("match_kind")))
+    rest = uniq_docs.join(
+        exact_new.select(F.col("key").alias(key_col)), key_col,
+        "left_anti")
+    # keys are unique here by construction (exact_new collapsed the
+    # byte-identical groups), so skip the dedup guard's window pass
+    pairs = minhash_lsh_dedup(rest, text_col, key_col, n=n,
+                              min_jaccard=min_jaccard,
+                              num_hashes=num_hashes, band_size=band_size,
+                              enforce_unique_keys=False)
+    near_new = (connected_components(pairs)
+                .filter(F.col("key") != F.col("component"))
+                .select("key", F.col("component").alias("canonical"),
+                        F.lit("near_new").alias("match_kind")))
+    decided = cross.unionByName(exact_new).unionByName(near_new)
+    unique = (new_df.select(F.col(key_col).alias("key"))
+              .join(decided.select("key"), "key", "left_anti")
+              .select("key", F.col("key").alias("canonical"),
+                      F.lit("unique").alias("match_kind")))
+    return decided.unionByName(unique)
+
+
 # --- SimHash ------------------------------------------------------------------
 
 SIMHASH_BITS = 32
@@ -646,6 +722,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "gram_array",
            "minhash_signatures", "band_keys", "lsh_candidate_pairs",
-           "jaccard_pairs", "minhash_lsh_dedup", "incremental_dedup", "resolve_canonicals",
+           "jaccard_pairs", "minhash_lsh_dedup", "incremental_dedup",
+           "resolve_canonicals", "snapshot_admission",
            "simhash", "simhash_candidates", "connected_components",
            "fingerprint", "normalize_text"]

@@ -3218,6 +3218,198 @@ def curated_corpus(spark, sf_dir):
             .select("doc_id", "lang", "source"))
 
 
+# Verdict chaining as its own gated query: the last dedup operator that
+# was pytest-only (VERDICT r5 #2). Spark reads the two materialized
+# artifacts (decide-once/serve-many); the oracle derives both live as
+# CTEs — value-identical because both artifacts are written by
+# driver-green builders.
+_RESOLVE_SQL = f"""
+    WITH incr AS ({_INCREMENTAL_SQL}),
+    comp AS ({{COMPONENTS_SQL}})
+    SELECT i.doc_id,
+           CAST(coalesce(c.canonical_id, i.canonical_id) AS BIGINT)
+               AS canonical_id,
+           i.match_kind
+    FROM incr i LEFT JOIN comp c ON c.doc_id = i.canonical_id
+"""
+
+
+@register(
+    "resolve_canonicals",
+    _RESOLVE_SQL.replace("{COMPONENTS_SQL}",
+                         QUERIES["dedup_components"].sql),
+    doc="cross-snapshot canonical chaining (operators/dedup."
+        "resolve_canonicals): every incremental verdict's canonical is "
+        "remapped through the existing corpus's materialized decisions "
+        "table — a new doc matching existing doc E whose own snapshot-N "
+        "canonical is R resolves to R, not E, so dedup clusters never "
+        "fragment across snapshots. ONE broadcast left join (the "
+        "decisions table is O(duplicate docs) — tens of GB at 10^12 "
+        "docs only if the dup fraction is huge; filter to "
+        "canonical_id != doc_id rows for the minimal form); 'unique' "
+        "verdicts pass through unchanged via coalesce. Spark reads the "
+        "materialized verdicts + decisions tables; the oracle derives "
+        "both live in CTEs")
+def resolve_canonicals_q(spark, sf_dir):
+    from ..operators.dedup import resolve_canonicals
+    verdicts = (spark.read.parquet(dedup_verdicts_dir(spark, sf_dir))
+                .select(F.col("doc_id").alias("key"),
+                        F.col("canonical_id").alias("canonical"),
+                        "match_kind"))
+    decisions = spark.read.parquet(dedup_decisions_dir(spark, sf_dir))
+    out = resolve_canonicals(verdicts, decisions)
+    return out.select(F.col("key").alias("doc_id"),
+                      F.col("canonical").cast("long")
+                      .alias("canonical_id"),
+                      "match_kind")
+
+
+# The one end-to-end admission composition (VERDICT r5 #1): the query a
+# training-data team runs per crawl drop. All five verdict kinds + the
+# quality gate in a single registered query; ordered phases mean the
+# most expensive stage (within-snapshot LSH + components) only sees the
+# cross-unique remainder.
+_ADMISSION_SQL = f"""
+    WITH incr AS MATERIALIZED ({_INCREMENTAL_SQL}),
+    comp AS MATERIALIZED ({{COMPONENTS_SQL}}),
+    resolved AS MATERIALIZED (
+      SELECT i.doc_id,
+             coalesce(c.canonical_id, i.canonical_id) AS canonical_id,
+             i.match_kind
+      FROM incr i LEFT JOIN comp c ON c.doc_id = i.canonical_id),
+    parted2 AS (
+      SELECT doc_id, text, {_SNAPSHOT_HALF} AS half FROM documents),
+    newdocs2 AS (
+      SELECT doc_id, text FROM parted2 WHERE half = 1
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM parted2
+      WHERE half = 0 AND doc_id % 25 = 0),
+    udocs AS MATERIALIZED (
+      SELECT n.doc_id, n.text FROM newdocs2 n
+      JOIN resolved r ON r.doc_id = n.doc_id
+                     AND r.match_kind = 'unique'),
+    fpu AS (SELECT doc_id, {_NORM_FP_SQL} AS fp FROM udocs),
+    fpc AS (SELECT fp, min(doc_id) AS canonical_id FROM fpu GROUP BY 1),
+    exact_new AS (
+      SELECT f.doc_id, c.canonical_id
+      FROM fpu f JOIN fpc c USING (fp)
+      WHERE f.doc_id <> c.canonical_id),
+    selfrest AS (
+      SELECT * FROM udocs
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact_new)),
+    {_incr_shingles_sql('selfrest', 'self')},
+    sig_self AS MATERIALIZED {_MINHASH_SIG_SQL.format(sh='sh_self')},
+    bands_self AS (
+      SELECT doc_id, '0|' || h0 || '|' || h1 AS band FROM sig_self
+      UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig_self),
+    bcap AS (SELECT * FROM (
+               SELECT doc_id, band,
+                      count(*) OVER (PARTITION BY band) AS bn
+               FROM bands_self) WHERE bn <= 10000),
+    scands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+               FROM bcap a JOIN bcap b USING (band)
+               WHERE a.doc_id < b.doc_id),
+    skeys AS (SELECT key_a AS doc_id FROM scands
+              UNION SELECT key_b FROM scands),
+    shr AS MATERIALIZED (SELECT * FROM sh_self
+            WHERE doc_id IN (SELECT doc_id FROM skeys)),
+    ssizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+               FROM shr GROUP BY doc_id),
+    sshared AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM shr a JOIN shr b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    spairs AS MATERIALIZED (
+      SELECT s.key_a, s.key_b FROM sshared s
+      JOIN scands USING (key_a, key_b)
+      JOIN ssizes sa ON sa.doc_id = s.key_a
+      JOIN ssizes sb ON sb.doc_id = s.key_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+    near_new AS (
+      WITH RECURSIVE
+      sedges AS (SELECT key_a AS src, key_b AS dst FROM spairs
+                 UNION ALL SELECT key_b, key_a FROM spairs),
+      snodes AS (SELECT DISTINCT src AS node FROM sedges),
+      walk2(node, comp2) AS (
+        SELECT node, node FROM snodes
+        UNION
+        SELECT e.dst, w.comp2 FROM walk2 w
+        JOIN sedges e ON e.src = w.node)
+      SELECT node AS doc_id, min(comp2) AS canonical_id
+      FROM walk2 GROUP BY node
+      HAVING node <> min(comp2)),
+    decided AS (
+      SELECT doc_id, canonical_id, match_kind FROM resolved
+      WHERE match_kind <> 'unique'
+      UNION ALL
+      SELECT doc_id, canonical_id, 'exact_new' FROM exact_new
+      UNION ALL
+      SELECT doc_id, canonical_id, 'near_new' FROM near_new),
+    uniqf AS (
+      SELECT doc_id FROM newdocs2
+      WHERE doc_id NOT IN (SELECT doc_id FROM decided)),
+    allrows AS (
+      SELECT doc_id, canonical_id, match_kind FROM decided
+      UNION ALL
+      SELECT doc_id, doc_id, 'unique' FROM uniqf),
+    qual AS MATERIALIZED ({{GOPHER_SQL}})
+    SELECT a.doc_id, CAST(a.canonical_id AS BIGINT) AS canonical_id,
+           a.match_kind,
+           (a.match_kind = 'unique' AND coalesce(q.keep, false))
+               AS admitted
+    FROM allrows a LEFT JOIN qual q ON q.doc_id = a.doc_id
+"""
+
+
+@register(
+    "snapshot_admission_full",
+    _ADMISSION_SQL
+    .replace("{COMPONENTS_SQL}", QUERIES["dedup_components"].sql)
+    .replace("{GOPHER_SQL}", QUERIES["doc_quality_gopher"].sql),
+    doc="the FULL per-crawl-drop admission decision as one query "
+        "(operators/dedup.snapshot_admission ∘ Gopher gate): one row "
+        "per incoming snapshot-N+1 doc with match_kind ∈ {exact, near "
+        "(vs the existing corpus, canonical CHAINED to the snapshot-N "
+        "root via the decisions table), exact_new, near_new (within-"
+        "snapshot new∪new dedup over the cross-unique remainder), "
+        "unique} and admitted = unique ∧ quality-keep. Cross-snapshot "
+        "matches win over new∪new dups, so a doc that is both resolves "
+        "to the EXISTING root — the cluster-fragmentation case the "
+        "chaining exists for (planted test in tests/test_dedup.py). "
+        "Verdicts/decisions come from the materialized artifacts "
+        "(decide-once/serve-many); the oracle derives every phase live "
+        "in CTEs, value-identical because each artifact's builder is "
+        "itself driver-green")
+def snapshot_admission_full(spark, sf_dir):
+    from ..operators.dedup import INDEX_BUILD_PARAMS, snapshot_admission
+    existing, new = _half_docs(spark, sf_dir)
+    recrawled = (existing.filter(F.col("doc_id") % 25 == 0)
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         "text"))
+    new = new.select("doc_id", "text").unionByName(recrawled)
+    verdicts = (spark.read.parquet(dedup_verdicts_dir(spark, sf_dir))
+                .select(F.col("doc_id").alias("key"),
+                        F.col("canonical_id").alias("canonical"),
+                        "match_kind"))
+    decisions = spark.read.parquet(dedup_decisions_dir(spark, sf_dir))
+    p = INDEX_BUILD_PARAMS
+    adm = snapshot_admission(new, verdicts, decisions, "text", "doc_id",
+                             n=p["n"], min_jaccard=0.5,
+                             num_hashes=p["num_hashes"],
+                             band_size=p["band_size"])
+    keep = (QUERIES["doc_quality_gopher"].fn(spark, sf_dir)
+            .select(F.col("doc_id").alias("key"), "keep"))
+    return (adm.join(keep, "key", "left")
+            .select(F.col("key").alias("doc_id"),
+                    F.col("canonical").cast("long").alias("canonical_id"),
+                    "match_kind",
+                    ((F.col("match_kind") == "unique")
+                     & F.coalesce(F.col("keep"), F.lit(False)))
+                    .alias("admitted")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The correctness driver samples the FIRST 50
 # registry entries in iteration order (CORRECTNESS_r01-r03 keys are exactly
@@ -3228,44 +3420,46 @@ def curated_corpus(spark, sf_dir):
 # by tests/test_queries_oracle.py at two scale factors regardless of
 # whether the driver samples it this round.
 _DRIVER_PRIORITY = [
-    # new in round 5
-    "dedup_incremental",
-    "snapshot_ingest",
-    "url_canonicalize",
-    "url_host_stats",
-    "corpus_shard_assignment",
-    # r4 row was rows-only; gained its DuckDB oracle in r5 — needs a
-    # hash-matched driver row
-    "media_features",
-    # not sampled in r4 (green in r3 or earlier; rotated back in)
-    "top_ngrams",
-    "decontaminate_docs",
-    "doc_pii_scrub",
-    "stratified_sample",
-    "pack_sequences",
-    "embedding_quantize",
-    "embedding_topk",
-    "embedding_label_centroids",
-    "embedding_norms",
-    "agg_pricing_summary",
-    "filtered_scan",
-    "in_filter",
-    "like_filter",
-    "anti_join_resume",
-    "semi_join_layered",
-    "join_orders_per_nation",
-    "broadcast_join_parts",
-    "window_topk_per_group",
-    "running_window_frames",
-    "dedup_first_event",
-    "change_detection",
-    "asof_join_events",
-    "sorted_set_langs",
-    "union_distinct_users",
-    "json_extract_props",
-    "date_arithmetic",
-    "string_functions",
-    "pivot_linestatus",
+    # new in round 6 — never driver-sampled
+    "resolve_canonicals",
+    "snapshot_admission_full",
+    # not sampled in r5 (green in r4 or earlier; rotated back in —
+    # VERDICT r5 #3's exact list)
+    "near_dup_jaccard_pruned",
+    "simhash_signatures",
+    "simhash_near_dup_pairs",
+    "doc_repetition",
+    "c4_sentence_filter",
+    "line_dedup_across_docs",
+    "repeated_ngram_coverage",
+    "corpus_mixture_sample",
+    "sessionize_clicks",
+    "windowed_event_counts",
+    "sliding_window_counts",
+    "doc_unigram_logprob",
+    "url_prefix_guard",
+    "fuzzy_levenshtein",
+    "sanitize_text",
+    "cube_event_stats",
+    "regex_log_parse",
+    "fixed_window_chunks",
+    "rollup_revenue",
+    "exact_quantiles",
+    "bm25_search",
+    "hybrid_search",
+    "layered_search",
+    "reduce_person_names",
+    "metrics_yearly_report",
+    "merge_upsert_orders",
+    "embedding_near_dup_by_label",
+    "distinct_users_per_type",
+    "curated_corpus",
+    # the four no-oracle pipeline rows (byte-identity parity suite is
+    # their gate; the driver records a rows-only check)
+    "pipeline_extract_docs",
+    "pipeline_chunks",
+    "pipeline_edges",
+    "pipeline_layered_search",
 ]
 
 

@@ -176,3 +176,52 @@ def test_cross_snapshot_composition_end_to_end(spark):
                                             decisions).collect()}
     assert resolved[10] == (1, "exact")      # chained 2 -> 1
     assert resolved[11] == (11, "unique")
+
+
+def test_snapshot_admission_cross_beats_new_new_and_chains_to_root(spark):
+    """VERDICT r5 #1's planted case: a new doc that is simultaneously a
+    new∪new dup AND a near-match of the existing corpus must be decided
+    by the CROSS phase (match_kind 'near', not 'exact_new'), and its
+    canonical must chain through the decisions table to the existing
+    snapshot's ROOT — plus one planted doc per remaining verdict kind."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        connected_components, incremental_dedup, minhash_lsh_dedup,
+        snapshot_admission)
+    from pyspark.sql import functions as F
+    body = " ".join(f"w{i}" for i in range(20))
+    drift1 = body.replace("w3", "x")          # existing near-dup of body
+    drift2 = drift1.replace("w15", "y")       # near of drift1 (J=15/21)
+    existing = spark.createDataFrame(
+        [(1, body), (2, drift1),              # cluster {1,2}, root 1
+         (5, " ".join(f"q{i}" for i in range(20)))],
+        "doc_id long, text string")
+    pairs = minhash_lsh_dedup(existing, "text", "doc_id", n=3,
+                              min_jaccard=0.5, num_hashes=4, band_size=2)
+    decisions = (connected_components(pairs)
+                 .select(F.col("key").alias("doc_id"),
+                         F.col("component").alias("canonical_id")))
+    fresh_a = " ".join(f"a{i}" for i in range(20))
+    fresh_b = " ".join(f"b{i}" for i in range(20))
+    new = spark.createDataFrame(
+        [(10, drift2),                        # near of existing 2 AND...
+         (11, drift2),                        # ...exact new∪new dup of 10
+         (12, fresh_a), (13, fresh_a),        # unique + exact_new pair
+         (14, fresh_b),
+         (15, fresh_b.replace("b7", "c"))],   # unique + near_new pair
+        "doc_id long, text string")
+    verdicts = incremental_dedup(new, existing, "text", "doc_id",
+                                 num_hashes=4, band_size=2)
+    out = {r.key: (r.canonical, r.match_kind)
+           for r in snapshot_admission(
+               new, verdicts, decisions, "text", "doc_id",
+               n=3, min_jaccard=0.5, num_hashes=4,
+               band_size=2).collect()}
+    assert len(out) == 6
+    # cross wins over new∪new; canonical = snapshot-N ROOT (1), never
+    # the matched member (2) nor a fresh new-snapshot id (10)
+    assert out[10] == (1, "near")
+    assert out[11] == (1, "near")
+    assert out[12] == (12, "unique")
+    assert out[13] == (12, "exact_new")
+    assert out[14] == (14, "unique")
+    assert out[15] == (14, "near_new")
