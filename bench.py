@@ -1,5 +1,7 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS]; prints the full per-query JSON line, then a
+<1 KB summary JSON line LAST (the driver tail-captures ~2 KB and parses
+the final line).
 
 Times every registered query (plans/queries.py) by executing its full plan
 with the no-op sink (no driver collect), plus the flagship extraction
@@ -104,11 +106,22 @@ def main() -> None:
     docs_per_sec = round(n_pages / extract_sec, 2)
 
     total = round(sum(timings.values()), 3)
+    # Output contract (VERDICT r5 #4): the round driver captures only a
+    # ~2 KB stdout TAIL and json-parses the last line — a single JSON
+    # line with the full 85-query map exceeds the window and every
+    # round's BENCH artifact shipped parsed:null with the head queries
+    # truncated. So: the full per-query map (2-decimal) goes on the
+    # PENULTIMATE line, and the LAST line is a <1 KB summary (total,
+    # n_queries, docs/s, the slowest queries inline) that always fits
+    # and always parses.
+    timings2 = {k: round(v, 2) for k, v in timings.items()}
+    print(json.dumps({"queries_full": timings2},
+                     separators=(",", ":")))
+    slowest = dict(sorted(timings2.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf_label,
         "cpus": cpus,
         "n_queries": len(timings),
@@ -117,7 +130,9 @@ def main() -> None:
         "extraction_docs_per_sec": docs_per_sec,
         "extraction_corpus_pages": n_pages,
         "extraction_reps": reps,
-    }))
+        "slowest": slowest,
+        "queries": "full 2-dp map on the previous stdout line",
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":
