@@ -228,9 +228,9 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
     green on the test corpora).
 
     ``checkpoint=False`` opts out of the shared-index localCheckpoints
-    for serving / long-lived drivers (see operators/search.py module
-    docstring for the lineage-truncation / GC-lifetime trade); the
-    one-shot batch default keeps the single-derivation plan.
+    for serving / long-lived drivers (docs/serving.md has the
+    lineage-truncation / GC-lifetime trade); the one-shot batch default
+    keeps the single-derivation plan.
     """
     # materialize the hashed inverted index ONCE, BEFORE any consumer:
     # it feeds the df-prune aggregation, the sizes leg, and BOTH sides
@@ -594,8 +594,8 @@ def simhash_candidates(sig: DataFrame, n_bands: int = 4,
     whole signature lineage — and the SimHash fold is an INTERPRETED
     higher-order aggregate (the most expensive kind of projection to
     compute twice). Same shared-leg rationale as jaccard_pairs /
-    bm25_scores; ``False`` opts out for serving (see search.py module
-    docstring for the lineage-truncation trade).
+    bm25_scores; ``False`` opts out for serving (docs/serving.md has
+    the lineage-truncation trade).
     """
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1

@@ -19,16 +19,11 @@ Scale design (the 100 TB contract):
 
 BM25 parameters k1=1.2, b=0.75 (Robertson et al., the standard defaults).
 
-localCheckpoint note (applies to every operator here and in dedup.py
-that materializes a shared projection): the checkpointed partitions live
-until the DataFrame's py4j refs are GC'd and ContextCleaner runs — a
-long-lived serving driver should drop references between queries (or
-gc.collect(), as bench.py does). localCheckpoint also truncates lineage
-(executor loss mid-query fails the query instead of recomputing); a
-cluster-grade serving deployment materializes the same projection to a
-TABLE once (the extracted_tables_dir pattern) instead of re-deriving +
-checkpointing it per query — the per-query checkpoint is the right shape
-for one-shot batch jobs, which is what the registry times.
+Shared projections here are localCheckpointed per query — the right
+shape for one-shot batch jobs, with a GC-lifetime and lineage-truncation
+trade for long-lived/serving drivers: see docs/serving.md for the full
+rule (drop refs / gc.collect in a long JVM; materialize to a table and
+pass checkpoint=False in a serving tier).
 """
 
 from __future__ import annotations

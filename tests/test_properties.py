@@ -308,3 +308,92 @@ def test_incremental_dedup_invariants(spark, old, new):
             assert fp not in old_fps          # exact takes precedence
             assert r.canonical in old_text
             assert _py_jaccard(t, old_text[r.canonical]) >= 0.5
+
+
+# --- canonicalize_url vs a urllib referee (VERDICT r5 #6) -------------------
+
+def _ref_canon_url(url: str) -> str:
+    """Independent pure-Python referee for operators/text.canonicalize_url,
+    built from the DOCUMENTED passes over urllib.parse components (not
+    from the operator's regexes): lowercase the scheme://netloc prefix
+    (userinfo included), drop the fragment, drop default ports (only
+    when the pre-port netloc is colon-free — a password's colon blocks
+    the strip, as it does the operator's character-class scan), drop
+    utm_*/gclid/fbclid params (name case-sensitive, '=' required) with
+    separator cleanup, strip every trailing path slash before a
+    surviving query and one non-slash-preceded trailing slash at
+    end-of-url."""
+    from urllib.parse import urlsplit
+    sp = urlsplit(url)
+    scheme = sp.scheme.lower()
+    netloc = sp.netloc.lower()
+    path, query = sp.path, sp.query          # sp.fragment dropped
+    for sch, port in (("https", ":443"), ("http", ":80")):
+        if scheme == sch and netloc.endswith(port) \
+                and ":" not in netloc[:-len(port)]:
+            netloc = netloc[:-len(port)]
+
+    def _tracking(seg: str) -> bool:
+        return re.fullmatch(
+            r"(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*", seg) is not None
+
+    segs = ([s for s in query.split("&") if s and not _tracking(s)]
+            if query else [])
+    if segs:
+        path = path.rstrip("/")
+        tail = "?" + "&".join(segs)
+    else:
+        tail = ""
+        if path.endswith("/") and not path.endswith("//"):
+            path = path[:-1]
+    return f"{scheme}://{netloc}{path}{tail}"
+
+
+_u_scheme = st.sampled_from(["http", "https", "HTTP", "HTTPS", "HtTpS",
+                             "ftp"])
+_u_userinfo = st.sampled_from(["", "User@", "admin:PaSs@"])
+_u_host = st.tuples(
+    st.sampled_from(["ExAmple", "news", "API", "s3", "Test123"]),
+    st.sampled_from(["COM", "org", "Net", "io"])
+).map(lambda t: f"{t[0]}.{t[1]}")
+_u_port = st.sampled_from(["", ":443", ":80", ":8080", ":8443"])
+_u_path = st.lists(
+    st.sampled_from(["Path", "a", "B2", "files", "x-y_z"]),
+    min_size=0, max_size=3).map(lambda s: "".join("/" + x for x in s))
+_u_trail = st.sampled_from(["", "/", "//"])
+_u_qseg = st.one_of(
+    st.tuples(
+        st.sampled_from(["id", "Q", "ref", "utm_source", "utm_Campaign",
+                         "UTM_SOURCE", "utm_x1", "gclid", "fbclid"]),
+        st.sampled_from(["", "1", "abc", "a=b", "X%20y"])
+    ).map(lambda t: f"{t[0]}={t[1]}"),
+    st.sampled_from(["gclid", "utm_source", ""]))     # no '=' / empty
+_u_query = st.lists(_u_qseg, min_size=0, max_size=4).map(
+    lambda segs: ("?" + "&".join(segs)) if segs else "")
+_u_frag = st.sampled_from(["", "#", "#Frag", "#a?b&c"])
+_url = st.builds(
+    lambda sch, ui, h, po, pa, tr, q, fr:
+        f"{sch}://{ui}{h}{po}{pa}{tr}{q}{fr}",
+    _u_scheme, _u_userinfo, _u_host, _u_port, _u_path, _u_trail,
+    _u_query, _u_frag)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_url, min_size=60, max_size=90, unique=True))
+def test_canonicalize_url_matches_urllib_referee(spark, urls):
+    """≥600 generated messy URLs (mixed-case hosts/schemes, userinfo
+    with and without password, default+nondefault ports, repeated and
+    case-varied tracking params, bare/no-'=' params, empty segments,
+    fragments, single/double trailing slashes): the JVM regex operator
+    must agree with the urllib.parse referee on every one."""
+    from ocr_processing_pipeline_spark.operators.text import (
+        canonicalize_url)
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: r.canon for r in
+           df.select("url",
+                     canonicalize_url(F.col("url")).alias("canon"))
+           .collect()}
+    for u in urls:
+        assert got[u] == _ref_canon_url(u), \
+            f"url={u!r}: spark={got[u]!r} referee={_ref_canon_url(u)!r}"
