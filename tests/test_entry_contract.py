@@ -47,11 +47,13 @@ def test_driver_priority_ordering():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
     assert set(_DRIVER_PRIORITY) <= set(QUERIES)
     first50 = list(E.queries())[:50]
-    # r5 rotation: the new query, the newly-oracle-gated one, and the
-    # r4-unsampled block must surface inside the 50-entry window
-    for name in ("dedup_incremental", "media_features", "top_ngrams",
-                 "asof_join_events", "string_functions",
-                 "pivot_linestatus"):
+    # r6 rotation: the two new queries plus the r5-unsampled block
+    # (VERDICT r5 task 3) must surface inside the 50-entry window
+    for name in ("resolve_canonicals", "snapshot_admission_full",
+                 "simhash_near_dup_pairs", "bm25_search",
+                 "fuzzy_levenshtein", "pipeline_edges"):
         assert name in first50, f"{name} outside the driver sample window"
+    # the whole priority list must actually land in the sampled window
+    assert set(_DRIVER_PRIORITY) <= set(first50)
     # ordering must not lose or duplicate anything
     assert sorted(E.queries()) == sorted(QUERIES)
