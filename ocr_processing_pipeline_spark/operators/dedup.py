@@ -496,14 +496,23 @@ def snapshot_admission(new_df: DataFrame, verdicts: DataFrame,
     cross = resolved.filter(F.col("match_kind") != "unique")
     uniq_keys = (resolved.filter(F.col("match_kind") == "unique")
                  .select(F.col("key").alias(key_col)))
-    uniq_docs = new_df.join(uniq_keys, key_col, "left_semi")
+    # uniq_docs feeds THREE plan legs (fingerprint, the LSH remainder,
+    # and through exact_new the final anti-join); without a checkpoint
+    # Catalyst re-derives the semi-join + verdict resolution per leg
+    # (docs/serving.md — batch-side lineage-reuse rule)
+    uniq_docs = (new_df.select(key_col, text_col)
+                 .join(uniq_keys, key_col, "left_semi")
+                 .localCheckpoint(eager=False))
     fp = uniq_docs.select(F.col(key_col).alias("key"),
                           fingerprint(F.col(text_col)).alias("fp"))
     fp_canon = fp.groupBy("fp").agg(F.min("key").alias("canonical"))
+    # exact_new is consumed twice (decided union + rest's anti-join) and
+    # is O(dup-docs) small — checkpoint so the fp shuffle runs once
     exact_new = (fp.join(fp_canon, "fp")
                  .filter(F.col("key") != F.col("canonical"))
                  .select("key", "canonical",
-                         F.lit("exact_new").alias("match_kind")))
+                         F.lit("exact_new").alias("match_kind"))
+                 .localCheckpoint(eager=False))
     rest = uniq_docs.join(
         exact_new.select(F.col("key").alias(key_col)), key_col,
         "left_anti")
