@@ -43,7 +43,7 @@ def main() -> None:
         os.path.join(corpus, "pages.parquet")).count()
     from ocr_processing_pipeline_spark.plans.queries import (
         dedup_decisions_dir, dedup_index_dir, dedup_verdicts_dir,
-        extracted_tables_dir)
+        extracted_tables_dir, snapshot_decisions_dir)
     extracted_tables_dir(spark, sf_dir)
     # same for the dedup decisions table: deciding duplicates is timed by
     # dedup_components itself; curated_corpus times the curation READ path
@@ -54,6 +54,7 @@ def main() -> None:
     # admission READ path
     dedup_index_dir(spark, sf_dir)
     dedup_verdicts_dir(spark, sf_dir)
+    snapshot_decisions_dir(spark, sf_dir)
 
     # Sampling shape: min over (SWEEPS time-separated visits) x (RUNS
     # back-to-back runs per visit). Two failure modes pull in opposite

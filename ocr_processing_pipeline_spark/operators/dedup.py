@@ -287,7 +287,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
                       num_hashes: int = DEFAULT_NUM_HASHES,
                       band_size: int = DEFAULT_BAND_SIZE,
                       enforce_unique_keys: bool = True,
-                      hash_impl: str = "md5") -> DataFrame:
+                      hash_impl: str = "md5",
+                      checkpoint: bool = True) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH → verify.
 
     ``enforce_unique_keys`` drops duplicate-key rows up front (shingles/
@@ -297,7 +298,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
     same corpus always dedup identically. One shuffle of the input; a
     pipeline that already ran ``exact_dedup`` (the recommended 100 TB
     order — collapse exact dups BEFORE the shingle explode) can pass
-    False to skip it.
+    False to skip it. ``checkpoint=False`` opts out of the shared-leg
+    localCheckpoints for serving tiers (docs/serving.md).
     """
     if enforce_unique_keys:
         w = Window.partitionBy(key_col).orderBy(fingerprint(F.col(text_col)))
@@ -305,11 +307,14 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
               .filter(F.col("_rn") == 1).drop("_rn"))
     # one shingle explode for the whole chain: the signature leg and the
     # verify leg otherwise each re-run it from the corpus scan
-    sh = shingles(df, text_col, key_col, n=n).localCheckpoint(eager=False)
+    sh = shingles(df, text_col, key_col, n=n)
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes, hash_impl=hash_impl),
         num_hashes, band_size)
-    return jaccard_pairs(sh, min_jaccard, candidates=cands)
+    return jaccard_pairs(sh, min_jaccard, candidates=cands,
+                         checkpoint=checkpoint)
 
 
 def incremental_dedup(new_df: DataFrame, existing_df: DataFrame,
@@ -453,7 +458,8 @@ def snapshot_admission(new_df: DataFrame, verdicts: DataFrame,
                        decisions: DataFrame, text_col: str, key_col: str,
                        *, n: int = 3, min_jaccard: float = 0.5,
                        num_hashes: int = DEFAULT_NUM_HASHES,
-                       band_size: int = DEFAULT_BAND_SIZE) -> DataFrame:
+                       band_size: int = DEFAULT_BAND_SIZE,
+                       checkpoint: bool = True) -> DataFrame:
     """Full per-crawl-drop admission decision: ONE row per incoming doc.
 
     The production composition a training-data team runs when crawl
@@ -491,7 +497,9 @@ def snapshot_admission(new_df: DataFrame, verdicts: DataFrame,
     caller). At 10^12 docs every stage is bounded: the existing corpus
     is only ever PROBED through its materialized fingerprint/band
     artifacts (inside ``verdicts``), the decisions remap is a broadcast,
-    and the LSH self-join sees only the cross-unique remainder."""
+    and the LSH self-join sees only the cross-unique remainder.
+    ``checkpoint=False`` opts out of every shared-leg localCheckpoint in
+    the composition for serving tiers (docs/serving.md)."""
     resolved = resolve_canonicals(verdicts, decisions)
     cross = resolved.filter(F.col("match_kind") != "unique")
     uniq_keys = (resolved.filter(F.col("match_kind") == "unique")
@@ -501,8 +509,9 @@ def snapshot_admission(new_df: DataFrame, verdicts: DataFrame,
     # Catalyst re-derives the semi-join + verdict resolution per leg
     # (docs/serving.md — batch-side lineage-reuse rule)
     uniq_docs = (new_df.select(key_col, text_col)
-                 .join(uniq_keys, key_col, "left_semi")
-                 .localCheckpoint(eager=False))
+                 .join(uniq_keys, key_col, "left_semi"))
+    if checkpoint:
+        uniq_docs = uniq_docs.localCheckpoint(eager=False)
     fp = uniq_docs.select(F.col(key_col).alias("key"),
                           fingerprint(F.col(text_col)).alias("fp"))
     fp_canon = fp.groupBy("fp").agg(F.min("key").alias("canonical"))
@@ -511,8 +520,9 @@ def snapshot_admission(new_df: DataFrame, verdicts: DataFrame,
     exact_new = (fp.join(fp_canon, "fp")
                  .filter(F.col("key") != F.col("canonical"))
                  .select("key", "canonical",
-                         F.lit("exact_new").alias("match_kind"))
-                 .localCheckpoint(eager=False))
+                         F.lit("exact_new").alias("match_kind")))
+    if checkpoint:
+        exact_new = exact_new.localCheckpoint(eager=False)
     rest = uniq_docs.join(
         exact_new.select(F.col("key").alias(key_col)), key_col,
         "left_anti")
@@ -521,11 +531,24 @@ def snapshot_admission(new_df: DataFrame, verdicts: DataFrame,
     pairs = minhash_lsh_dedup(rest, text_col, key_col, n=n,
                               min_jaccard=min_jaccard,
                               num_hashes=num_hashes, band_size=band_size,
-                              enforce_unique_keys=False)
+                              enforce_unique_keys=False,
+                              checkpoint=checkpoint)
     near_new = (connected_components(pairs)
                 .filter(F.col("key") != F.col("component"))
                 .select("key", F.col("component").alias("canonical"),
                         F.lit("near_new").alias("match_kind")))
+    # chain exact_new through near_new: a byte-identical group's min-key
+    # representative stays in `rest` and can itself be demoted to
+    # near_new — without this remap its exact_new members would point at
+    # a non-admitted doc. Depth 1 suffices: near_new roots are cross-
+    # unique, not exact_new (group minima), and not near_new (component
+    # roots), so they ARE admitted. O(near-dup rows) broadcast join.
+    remap = near_new.select(F.col("key").alias("canonical"),
+                            F.col("canonical").alias("_root"))
+    exact_new = (exact_new.join(F.broadcast(remap), "canonical", "left")
+                 .select("key",
+                         F.coalesce("_root", "canonical")
+                         .alias("canonical"), "match_kind"))
     decided = cross.unionByName(exact_new).unionByName(near_new)
     unique = (new_df.select(F.col(key_col).alias("key"))
               .join(decided.select("key"), "key", "left_anti")

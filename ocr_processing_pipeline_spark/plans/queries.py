@@ -3107,10 +3107,13 @@ def dedup_incremental(spark, sf_dir):
     # 'unique' (ADVICE r5; same enforcement as stream_incremental_dedup)
     with open(os.path.join(idx_dir, "params.json")) as fh:
         p = json.load(fh)
-    assert {k: p[k] for k in ("n", "num_hashes", "band_size")} == \
-        {k: INDEX_BUILD_PARAMS[k] for k in ("n", "num_hashes",
-                                            "band_size")}, \
-        f"dedup index params drifted from INDEX_BUILD_PARAMS: {p}"
+    keys = ("n", "num_hashes", "band_size")
+    if {k: p[k] for k in keys} != {k: INDEX_BUILD_PARAMS[k] for k in keys}:
+        # a plain raise, not assert: this guard must survive python -O
+        # (a spark-submit wrapper setting PYTHONOPTIMIZE would compile an
+        # assert out and the probe would band-collide nothing)
+        raise ValueError(
+            f"dedup index params drifted from INDEX_BUILD_PARAMS: {p}")
     out = incremental_dedup(new, existing, "text", "doc_id",
                             n=p["n"], min_jaccard=0.5,
                             num_hashes=p["num_hashes"],
@@ -3135,6 +3138,88 @@ def dedup_verdicts_dir(spark, sf_dir: str) -> str:
                                  evict_stale=True)
         QUERIES["dedup_incremental"].fn(spark, sf_dir) \
             .write.mode("overwrite").parquet(out)
+    return out
+
+
+# The decisions table the cross-snapshot chaining remaps through must be
+# snapshot-N's OWN decisions — components over the EXISTING half only.
+# The full-corpus dedup_components table also clusters NEW-half docs, so
+# chaining through it could remap 'unique' verdicts (their canonical =
+# own key can appear in a full-corpus cluster) and resolve cross matches
+# to NEW-snapshot roots — both contradicting the snapshot model's
+# "canonical is the existing root" contract (r6 code review).
+_EXISTING_COMPONENTS_SQL = f"""
+    WITH RECURSIVE existdocs AS (
+      SELECT doc_id, text FROM documents WHERE {_SNAPSHOT_HALF} = 0),
+    {_incr_shingles_sql('existdocs', 'ex')},
+    sig_ex AS MATERIALIZED {_MINHASH_SIG_SQL.format(sh='sh_ex')},
+    bands_ex AS (
+      SELECT doc_id, '0|' || h0 || '|' || h1 AS band FROM sig_ex
+      UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig_ex),
+    bcap_ex AS (SELECT * FROM (
+               SELECT doc_id, band,
+                      count(*) OVER (PARTITION BY band) AS bn
+               FROM bands_ex) WHERE bn <= 10000),
+    cands_ex AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM bcap_ex a JOIN bcap_ex b USING (band)
+      WHERE a.doc_id < b.doc_id),
+    ckeys_ex AS (SELECT key_a AS doc_id FROM cands_ex
+                 UNION SELECT key_b FROM cands_ex),
+    shr_ex AS MATERIALIZED (SELECT * FROM sh_ex
+              WHERE doc_id IN (SELECT doc_id FROM ckeys_ex)),
+    sizes_ex AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+                 FROM shr_ex GROUP BY doc_id),
+    shared_ex AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM shr_ex a JOIN shr_ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs_ex AS MATERIALIZED (
+      SELECT s.key_a, s.key_b FROM shared_ex s
+      JOIN cands_ex USING (key_a, key_b)
+      JOIN sizes_ex sa ON sa.doc_id = s.key_a
+      JOIN sizes_ex sb ON sb.doc_id = s.key_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+    edges_ex AS (SELECT key_a AS src, key_b AS dst FROM pairs_ex
+                 UNION ALL SELECT key_b, key_a FROM pairs_ex),
+    nodes_ex AS (SELECT DISTINCT src AS node FROM edges_ex),
+    walk_ex(node, comp) AS (
+      SELECT node, node FROM nodes_ex
+      UNION
+      SELECT e.dst, w.comp FROM walk_ex w
+      JOIN edges_ex e ON e.src = w.node)
+    SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
+    FROM walk_ex GROUP BY node
+"""
+
+
+def snapshot_decisions_dir(spark, sf_dir: str) -> str:
+    """Materialized SNAPSHOT-N decisions table: connected components
+    over the EXISTING half of the corpus only (see the note above
+    _EXISTING_COMPONENTS_SQL — the full-corpus dedup_components table
+    is the WRONG thing to chain snapshot verdicts through). Built with
+    INDEX_BUILD_PARAMS, the same parameters the dedup index the
+    verdicts were probed against was built with; same decide-once/
+    serve-many cache pattern as dedup_decisions_dir."""
+    from ..operators.dedup import (INDEX_BUILD_PARAMS,
+                                   connected_components,
+                                   minhash_lsh_dedup)
+    out = _materialized_cache_path("snapshot_decisions", sf_dir, "v1")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _materialized_cache_path("snapshot_decisions", sf_dir, "v1",
+                                 evict_stale=True)
+        existing, _ = _half_docs(spark, sf_dir)
+        p = INDEX_BUILD_PARAMS
+        pairs = minhash_lsh_dedup(existing, "text", "doc_id",
+                                  n=p["n"], min_jaccard=0.5,
+                                  num_hashes=p["num_hashes"],
+                                  band_size=p["band_size"])
+        (connected_components(pairs)
+         .select(F.col("key").alias("doc_id"),
+                 F.col("component").cast("long").alias("canonical_id"))
+         .write.mode("overwrite").parquet(out))
     return out
 
 
@@ -3236,27 +3321,28 @@ _RESOLVE_SQL = f"""
 
 @register(
     "resolve_canonicals",
-    _RESOLVE_SQL.replace("{COMPONENTS_SQL}",
-                         QUERIES["dedup_components"].sql),
+    _RESOLVE_SQL.replace("{COMPONENTS_SQL}", _EXISTING_COMPONENTS_SQL),
     doc="cross-snapshot canonical chaining (operators/dedup."
         "resolve_canonicals): every incremental verdict's canonical is "
-        "remapped through the existing corpus's materialized decisions "
-        "table — a new doc matching existing doc E whose own snapshot-N "
-        "canonical is R resolves to R, not E, so dedup clusters never "
-        "fragment across snapshots. ONE broadcast left join (the "
-        "decisions table is O(duplicate docs) — tens of GB at 10^12 "
-        "docs only if the dup fraction is huge; filter to "
-        "canonical_id != doc_id rows for the minimal form); 'unique' "
-        "verdicts pass through unchanged via coalesce. Spark reads the "
-        "materialized verdicts + decisions tables; the oracle derives "
-        "both live in CTEs")
+        "remapped through SNAPSHOT-N's materialized decisions table "
+        "(components over the EXISTING half only — chaining through a "
+        "full-corpus decisions table could remap 'unique' verdicts and "
+        "resolve to new-snapshot roots) — a new doc matching existing "
+        "doc E whose own snapshot-N canonical is R resolves to R, not "
+        "E, so dedup clusters never fragment across snapshots. ONE "
+        "broadcast left join (the decisions table is O(duplicate docs) "
+        "— tens of GB at 10^12 docs only if the dup fraction is huge; "
+        "filter to canonical_id != doc_id rows for the minimal form); "
+        "'unique' verdicts pass through unchanged via coalesce. Spark "
+        "reads the materialized verdicts + decisions tables; the "
+        "oracle derives both live in CTEs")
 def resolve_canonicals_q(spark, sf_dir):
     from ..operators.dedup import resolve_canonicals
     verdicts = (spark.read.parquet(dedup_verdicts_dir(spark, sf_dir))
                 .select(F.col("doc_id").alias("key"),
                         F.col("canonical_id").alias("canonical"),
                         "match_kind"))
-    decisions = spark.read.parquet(dedup_decisions_dir(spark, sf_dir))
+    decisions = spark.read.parquet(snapshot_decisions_dir(spark, sf_dir))
     out = resolve_canonicals(verdicts, decisions)
     return out.select(F.col("key").alias("doc_id"),
                       F.col("canonical").cast("long")
@@ -3327,7 +3413,7 @@ _ADMISSION_SQL = f"""
       JOIN ssizes sa ON sa.doc_id = s.key_a
       JOIN ssizes sb ON sb.doc_id = s.key_b
       WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
-    near_new AS (
+    near_new AS MATERIALIZED (
       WITH RECURSIVE
       sedges AS (SELECT key_a AS src, key_b AS dst FROM spairs
                  UNION ALL SELECT key_b, key_a FROM spairs),
@@ -3344,7 +3430,13 @@ _ADMISSION_SQL = f"""
       SELECT doc_id, canonical_id, match_kind FROM resolved
       WHERE match_kind <> 'unique'
       UNION ALL
-      SELECT doc_id, canonical_id, 'exact_new' FROM exact_new
+      -- exact_new chained through near_new: a byte-identical group's
+      -- min-key representative can itself be demoted to near_new, and
+      -- its members must point at the admitted cluster root
+      SELECT e.doc_id, coalesce(nn.canonical_id, e.canonical_id),
+             'exact_new'
+      FROM exact_new e
+      LEFT JOIN near_new nn ON nn.doc_id = e.canonical_id
       UNION ALL
       SELECT doc_id, canonical_id, 'near_new' FROM near_new),
     uniqf AS (
@@ -3366,7 +3458,7 @@ _ADMISSION_SQL = f"""
 @register(
     "snapshot_admission_full",
     _ADMISSION_SQL
-    .replace("{COMPONENTS_SQL}", QUERIES["dedup_components"].sql)
+    .replace("{COMPONENTS_SQL}", _EXISTING_COMPONENTS_SQL)
     .replace("{GOPHER_SQL}", QUERIES["doc_quality_gopher"].sql),
     doc="the FULL per-crawl-drop admission decision as one query "
         "(operators/dedup.snapshot_admission ∘ Gopher gate): one row "
@@ -3393,7 +3485,7 @@ def snapshot_admission_full(spark, sf_dir):
                 .select(F.col("doc_id").alias("key"),
                         F.col("canonical_id").alias("canonical"),
                         "match_kind"))
-    decisions = spark.read.parquet(dedup_decisions_dir(spark, sf_dir))
+    decisions = spark.read.parquet(snapshot_decisions_dir(spark, sf_dir))
     p = INDEX_BUILD_PARAMS
     adm = snapshot_admission(new, verdicts, decisions, "text", "doc_id",
                              n=p["n"], min_jaccard=0.5,

@@ -225,3 +225,37 @@ def test_snapshot_admission_cross_beats_new_new_and_chains_to_root(spark):
     assert out[13] == (12, "exact_new")
     assert out[14] == (14, "unique")
     assert out[15] == (14, "near_new")
+
+
+def test_snapshot_admission_exact_new_chains_through_near_new(spark):
+    """Dangling-canonical case (r6 code review): cross-unique docs
+    C < A < B where A and B are byte-identical AND A is a near-dup of C.
+    exact_new collapses B -> A, then A itself is demoted to near_new
+    (A -> C). B's canonical must chain to the ADMITTED root C, not
+    point at the non-admitted A."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        snapshot_admission)
+    base = " ".join(f"m{i}" for i in range(20))
+    near = base.replace("m3", "z")            # near-dup of base (J>=0.5)
+    existing = spark.createDataFrame(
+        [(1, " ".join(f"e{i}" for i in range(20)))],
+        "doc_id long, text string")
+    # every new doc is cross-unique (no existing-corpus match)
+    new = spark.createDataFrame(
+        [(20, base),                          # C: cluster root, admitted
+         (21, near), (22, near)],             # A,B byte-identical; A~C
+        "doc_id long, text string")
+    verdicts = spark.createDataFrame(
+        [(20, 20, "unique"), (21, 21, "unique"), (22, 22, "unique")],
+        "key long, canonical long, match_kind string")
+    decisions = spark.createDataFrame(
+        [], "doc_id long, canonical_id long")
+    out = {r.key: (r.canonical, r.match_kind)
+           for r in snapshot_admission(
+               new, verdicts, decisions, "text", "doc_id",
+               n=3, min_jaccard=0.5, num_hashes=4,
+               band_size=2).collect()}
+    assert out[20] == (20, "unique")
+    assert out[21] == (20, "near_new")        # A demoted to near_new
+    assert out[22] == (20, "exact_new"), \
+        "exact_new canonical must chain through near_new to the root"
