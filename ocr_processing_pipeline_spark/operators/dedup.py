@@ -542,13 +542,11 @@ def snapshot_admission(new_df: DataFrame, verdicts: DataFrame,
     # near_new — without this remap its exact_new members would point at
     # a non-admitted doc. Depth 1 suffices: near_new roots are cross-
     # unique, not exact_new (group minima), and not near_new (component
-    # roots), so they ARE admitted. O(near-dup rows) broadcast join.
-    remap = near_new.select(F.col("key").alias("canonical"),
-                            F.col("canonical").alias("_root"))
-    exact_new = (exact_new.join(F.broadcast(remap), "canonical", "left")
-                 .select("key",
-                         F.coalesce("_root", "canonical")
-                         .alias("canonical"), "match_kind"))
+    # roots), so they ARE admitted. Same chaining join as the cross-
+    # snapshot case, so reuse it (near_new IS a decisions table here).
+    exact_new = resolve_canonicals(
+        exact_new, near_new.select(F.col("key").alias("doc_id"),
+                                   F.col("canonical").alias("canonical_id")))
     decided = cross.unionByName(exact_new).unionByName(near_new)
     unique = (new_df.select(F.col(key_col).alias("key"))
               .join(decided.select("key"), "key", "left_anti")

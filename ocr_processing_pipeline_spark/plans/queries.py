@@ -314,6 +314,91 @@ _SHINGLES_SQL = """
 """
 
 
+def _incr_shingles_sql(src: str, out: str) -> str:
+    """Shingle CTE pair (tok_, sh_) over a named docs CTE — the same
+    3-gram construction as _SHINGLES_SQL, parameterized by source."""
+    return f"""
+    tok_{out} AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ') AS t
+      FROM {src}),
+    sh_{out} AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i:i+2], ' ') AS shingle
+      FROM tok_{out},
+           LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1)))
+             AS g(i)
+      WHERE length(array_to_string(t[i:i+2], ' ')) > 0)"""
+
+
+_MINHASH_SIG_SQL = """(
+      SELECT doc_id,
+             min(substring(md5('0:' || shingle), 1, 8)) AS h0,
+             min(substring(md5('0:' || shingle), 9, 8)) AS h1,
+             min(substring(md5('0:' || shingle), 17, 8)) AS h2,
+             min(substring(md5('0:' || shingle), 25, 8)) AS h3
+      FROM {sh} GROUP BY doc_id)"""
+
+
+def _lsh_components_sql(src_sql: str, tag: str) -> str:
+    """THE oracle clustering chain, single source of truth (r6 code
+    review deduplicated three hand-kept copies): standalone
+    ``WITH RECURSIVE … SELECT doc_id, canonical_id`` statement running
+    shingle → MinHash(4 hashes) → 2-band LSH (hot-bucket cap 10000) →
+    verified Jaccard ≥ 0.5 → recursive-CTE connected components
+    (canonical = min doc_id, root rows included) over ``src_sql``, any
+    (doc_id, text) SELECT. CTE names carry ``_{tag}`` so instances can
+    nest inside a larger statement (outer CTEs stay visible to the
+    nested scope) without name collisions."""
+    t = tag
+    return f"""
+    WITH RECURSIVE docs_{t} AS ({src_sql}),
+    {_incr_shingles_sql(f'docs_{t}', t)},
+    sig_{t} AS MATERIALIZED {_MINHASH_SIG_SQL.format(sh=f'sh_{t}')},
+    bands_{t} AS (
+      SELECT doc_id, '0|' || h0 || '|' || h1 AS band FROM sig_{t}
+      UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig_{t}),
+    bcap_{t} AS (SELECT * FROM (
+               SELECT doc_id, band,
+                      count(*) OVER (PARTITION BY band) AS bn
+               FROM bands_{t}) WHERE bn <= 10000),
+    cands_{t} AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM bcap_{t} a JOIN bcap_{t} b USING (band)
+      WHERE a.doc_id < b.doc_id),
+    ckeys_{t} AS (SELECT key_a AS doc_id FROM cands_{t}
+                  UNION SELECT key_b FROM cands_{t}),
+    shr_{t} AS MATERIALIZED (SELECT * FROM sh_{t}
+              WHERE doc_id IN (SELECT doc_id FROM ckeys_{t})),
+    sizes_{t} AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+                  FROM shr_{t} GROUP BY doc_id),
+    shared_{t} AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM shr_{t} a JOIN shr_{t} b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs_{t} AS MATERIALIZED (
+      SELECT s.key_a, s.key_b FROM shared_{t} s
+      JOIN cands_{t} USING (key_a, key_b)
+      JOIN sizes_{t} sa ON sa.doc_id = s.key_a
+      JOIN sizes_{t} sb ON sb.doc_id = s.key_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+    edges_{t} AS (SELECT key_a AS src, key_b AS dst FROM pairs_{t}
+                  UNION ALL SELECT key_b, key_a FROM pairs_{t}),
+    nodes_{t} AS (SELECT DISTINCT src AS node FROM edges_{t}),
+    walk_{t}(node, comp) AS (
+      SELECT node, node FROM nodes_{t}
+      UNION
+      SELECT e.dst, w.comp FROM walk_{t} w
+      JOIN edges_{t} e ON e.src = w.node)
+    SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
+    FROM walk_{t} GROUP BY node
+"""
+
+
 @register(
     "minhash_signatures",
     _SHINGLES_SQL + """
@@ -543,53 +628,7 @@ def ivf_search(spark, sf_dir):
 
 @register(
     "dedup_components",
-    _SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """
-    , sig AS (
-      SELECT doc_id,
-             min(substring(md5('0:' || shingle), 1, 8)) AS h0,
-             min(substring(md5('0:' || shingle), 9, 8)) AS h1,
-             min(substring(md5('0:' || shingle), 17, 8)) AS h2,
-             min(substring(md5('0:' || shingle), 25, 8)) AS h3
-      FROM sh GROUP BY doc_id),
-    banded AS (
-      SELECT doc_id, '0|' || h0 || '|' || h1 AS band FROM sig
-      UNION ALL
-      SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig),
-    b2 AS (SELECT * FROM (
-             SELECT doc_id, band,
-                    count(*) OVER (PARTITION BY band) AS bn
-             FROM banded) WHERE bn <= 10000),
-    cands AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
-              FROM b2 a JOIN b2 b USING (band)
-              WHERE a.doc_id < b.doc_id),
-    ckeys AS (SELECT key_a AS doc_id FROM cands
-              UNION SELECT key_b FROM cands),
-    shr AS (SELECT * FROM sh
-            WHERE doc_id IN (SELECT doc_id FROM ckeys)),
-    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
-              FROM shr GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-             CAST(count(*) AS BIGINT) AS shared
-      FROM shr a JOIN shr b USING (shingle)
-      WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT s.key_a, s.key_b FROM shared s
-      JOIN cands USING (key_a, key_b)
-      JOIN sizes sa ON sa.doc_id = s.key_a
-      JOIN sizes sb ON sb.doc_id = s.key_b
-      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
-    edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
-              UNION ALL SELECT key_b, key_a FROM pairs),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    walk(node, comp) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node)
-    SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
-    FROM walk GROUP BY node
-    """,
+    _lsh_components_sql("SELECT doc_id, text FROM documents", "all"),
     doc="dedup cluster canonicalization over the PRODUCTION pair path "
         "(MinHash->LSH->verified jaccard >= 0.5): connected components "
         "(A~B, B~C => one cluster, canonical = min doc_id). Spark: "
@@ -2976,34 +3015,15 @@ def dedup_index_dir(spark, sf_dir: str) -> str:
     return out
 
 
-def _incr_shingles_sql(src: str, out: str) -> str:
-    """Shingle CTE pair (tok_, sh_) over a named docs CTE — the same
-    3-gram construction as _SHINGLES_SQL, parameterized by source."""
-    return f"""
-    tok_{out} AS (
-      SELECT doc_id,
-             regexp_split_to_array(
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-               ' ') AS t
-      FROM {src}),
-    sh_{out} AS (
-      SELECT DISTINCT doc_id,
-             array_to_string(t[i:i+2], ' ') AS shingle
-      FROM tok_{out},
-           LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1)))
-             AS g(i)
-      WHERE length(array_to_string(t[i:i+2], ' ')) > 0)"""
-
-
-_MINHASH_SIG_SQL = """(
-      SELECT doc_id,
-             min(substring(md5('0:' || shingle), 1, 8)) AS h0,
-             min(substring(md5('0:' || shingle), 9, 8)) AS h1,
-             min(substring(md5('0:' || shingle), 17, 8)) AS h2,
-             min(substring(md5('0:' || shingle), 25, 8)) AS h3
-      FROM {sh} GROUP BY doc_id)"""
-
 _NORM_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+# Planted re-crawl keys live at doc_id + 2^40: far above any test-tier
+# doc_id AND above a plausible 10^12-doc corpus keyspace, so a planted
+# key can never alias a real doc_id (an alias would let the decisions
+# remap rewrite a 'unique' verdict and would put duplicate keys into
+# the LSH stage — r6 code review; was +1e6, safe only by accident of
+# small test ids).
+_RECRAWL_KEY_OFFSET = 1 << 40
 
 _INCREMENTAL_SQL = f"""
     WITH parted AS (
@@ -3011,7 +3031,7 @@ _INCREMENTAL_SQL = f"""
     newdocs AS (
       SELECT doc_id, text FROM parted WHERE half = 1
       UNION ALL
-      SELECT doc_id + 1000000, text FROM parted
+      SELECT doc_id + {_RECRAWL_KEY_OFFSET}, text FROM parted
       WHERE half = 0 AND doc_id % 25 = 0),
     olddocs AS (SELECT doc_id, text FROM parted WHERE half = 0),
     fp_new AS (SELECT doc_id, {_NORM_FP_SQL} AS fp FROM newdocs),
@@ -3088,14 +3108,14 @@ _INCREMENTAL_SQL = f"""
         "construction, proven by the precomputed-index parity test. The "
         "synthetic corpus has no organic cross-half EXACT clones, so the "
         "new snapshot additionally PLANTS re-crawled pages (every 25th "
-        "existing doc re-keyed +1e6, same bytes — the web reality the "
+        "existing doc re-keyed +2^40, same bytes — the web reality the "
         "exact phase exists for), identically on both sides")
 def dedup_incremental(spark, sf_dir):
     import json
     from ..operators.dedup import INDEX_BUILD_PARAMS, incremental_dedup
     existing, new = _half_docs(spark, sf_dir)
     recrawled = (existing.filter(F.col("doc_id") % 25 == 0)
-                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                 .select((F.col("doc_id") + _RECRAWL_KEY_OFFSET).alias("doc_id"),
                          "text"))
     new = new.select("doc_id", "text").unionByName(recrawled)
     idx_dir = dedup_index_dir(spark, sf_dir)
@@ -3131,10 +3151,14 @@ def dedup_verdicts_dir(spark, sf_dir: str) -> str:
     driver-green ``dedup_incremental`` builder, read by every ingest
     consumer (the same decide-once/serve-many shape as
     dedup_decisions_dir: an admission decision is made once per
-    snapshot, not re-probed inside every composed query)."""
-    out = _materialized_cache_path("dedup_verdicts", sf_dir, "v1")
+    snapshot, not re-probed inside every composed query).
+
+    v2: planted re-crawl keys moved from +1e6 to +2^40
+    (_RECRAWL_KEY_OFFSET) — the stored verdict doc_ids embed the
+    offset, so the cache version must move with it."""
+    out = _materialized_cache_path("dedup_verdicts", sf_dir, "v2")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        _materialized_cache_path("dedup_verdicts", sf_dir, "v1",
+        _materialized_cache_path("dedup_verdicts", sf_dir, "v2",
                                  evict_stale=True)
         QUERIES["dedup_incremental"].fn(spark, sf_dir) \
             .write.mode("overwrite").parquet(out)
@@ -3148,74 +3172,51 @@ def dedup_verdicts_dir(spark, sf_dir: str) -> str:
 # own key can appear in a full-corpus cluster) and resolve cross matches
 # to NEW-snapshot roots — both contradicting the snapshot model's
 # "canonical is the existing root" contract (r6 code review).
-_EXISTING_COMPONENTS_SQL = f"""
-    WITH RECURSIVE existdocs AS (
-      SELECT doc_id, text FROM documents WHERE {_SNAPSHOT_HALF} = 0),
-    {_incr_shingles_sql('existdocs', 'ex')},
-    sig_ex AS MATERIALIZED {_MINHASH_SIG_SQL.format(sh='sh_ex')},
-    bands_ex AS (
-      SELECT doc_id, '0|' || h0 || '|' || h1 AS band FROM sig_ex
-      UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig_ex),
-    bcap_ex AS (SELECT * FROM (
-               SELECT doc_id, band,
-                      count(*) OVER (PARTITION BY band) AS bn
-               FROM bands_ex) WHERE bn <= 10000),
-    cands_ex AS MATERIALIZED (
-      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
-      FROM bcap_ex a JOIN bcap_ex b USING (band)
-      WHERE a.doc_id < b.doc_id),
-    ckeys_ex AS (SELECT key_a AS doc_id FROM cands_ex
-                 UNION SELECT key_b FROM cands_ex),
-    shr_ex AS MATERIALIZED (SELECT * FROM sh_ex
-              WHERE doc_id IN (SELECT doc_id FROM ckeys_ex)),
-    sizes_ex AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
-                 FROM shr_ex GROUP BY doc_id),
-    shared_ex AS (
-      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-             CAST(count(*) AS BIGINT) AS shared
-      FROM shr_ex a JOIN shr_ex b USING (shingle)
-      WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs_ex AS MATERIALIZED (
-      SELECT s.key_a, s.key_b FROM shared_ex s
-      JOIN cands_ex USING (key_a, key_b)
-      JOIN sizes_ex sa ON sa.doc_id = s.key_a
-      JOIN sizes_ex sb ON sb.doc_id = s.key_b
-      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
-    edges_ex AS (SELECT key_a AS src, key_b AS dst FROM pairs_ex
-                 UNION ALL SELECT key_b, key_a FROM pairs_ex),
-    nodes_ex AS (SELECT DISTINCT src AS node FROM edges_ex),
-    walk_ex(node, comp) AS (
-      SELECT node, node FROM nodes_ex
-      UNION
-      SELECT e.dst, w.comp FROM walk_ex w
-      JOIN edges_ex e ON e.src = w.node)
-    SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
-    FROM walk_ex GROUP BY node
-"""
+_EXISTING_COMPONENTS_SQL = _lsh_components_sql(
+    f"SELECT doc_id, text FROM documents WHERE {_SNAPSHOT_HALF} = 0",
+    "ex")
 
 
 def snapshot_decisions_dir(spark, sf_dir: str) -> str:
     """Materialized SNAPSHOT-N decisions table: connected components
     over the EXISTING half of the corpus only (see the note above
     _EXISTING_COMPONENTS_SQL — the full-corpus dedup_components table
-    is the WRONG thing to chain snapshot verdicts through). Built with
-    INDEX_BUILD_PARAMS, the same parameters the dedup index the
-    verdicts were probed against was built with; same decide-once/
-    serve-many cache pattern as dedup_decisions_dir."""
+    is the WRONG thing to chain snapshot verdicts through).
+
+    The build PROBES the materialized band index (dedup_index_dir's
+    bands.parquet, hot-bucket cap already applied) instead of
+    re-deriving shingle→minhash→band over the existing half: the
+    decisions table is then clustered from literally the same band set
+    the verdicts were probed against — a params drift between the two
+    derivations is structurally impossible. Only the Jaccard-verify
+    shingling runs here. The MinHash params are folded into the cache
+    version tag, so changing INDEX_BUILD_PARAMS evicts and rebuilds
+    this table automatically (same decide-once/serve-many pattern as
+    dedup_decisions_dir)."""
+    import json
     from ..operators.dedup import (INDEX_BUILD_PARAMS,
-                                   connected_components,
-                                   minhash_lsh_dedup)
-    out = _materialized_cache_path("snapshot_decisions", sf_dir, "v1")
+                                   connected_components, jaccard_pairs,
+                                   shingles)
+    bp = INDEX_BUILD_PARAMS
+    ver = f"v2-n{bp['n']}h{bp['num_hashes']}b{bp['band_size']}"
+    out = _materialized_cache_path("snapshot_decisions", sf_dir, ver)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        _materialized_cache_path("snapshot_decisions", sf_dir, "v1",
+        _materialized_cache_path("snapshot_decisions", sf_dir, ver,
                                  evict_stale=True)
+        idx_dir = dedup_index_dir(spark, sf_dir)
+        with open(os.path.join(idx_dir, "params.json")) as fh:
+            p = json.load(fh)
+        banded = spark.read.parquet(os.path.join(idx_dir,
+                                                 "bands.parquet"))
+        a, b = banded.alias("a"), banded.alias("b")
+        cands = (a.join(b, "band")
+                 .filter(F.col("a.key") < F.col("b.key"))
+                 .select(F.col("a.key").alias("key_a"),
+                         F.col("b.key").alias("key_b"))
+                 .distinct())
         existing, _ = _half_docs(spark, sf_dir)
-        p = INDEX_BUILD_PARAMS
-        pairs = minhash_lsh_dedup(existing, "text", "doc_id",
-                                  n=p["n"], min_jaccard=0.5,
-                                  num_hashes=p["num_hashes"],
-                                  band_size=p["band_size"])
+        sh = shingles(existing, "text", "doc_id", n=p["n"])
+        pairs = jaccard_pairs(sh, 0.5, candidates=cands)
         (connected_components(pairs)
          .select(F.col("key").alias("doc_id"),
                  F.col("component").cast("long").alias("canonical_id"))
@@ -3368,7 +3369,7 @@ _ADMISSION_SQL = f"""
     newdocs2 AS (
       SELECT doc_id, text FROM parted2 WHERE half = 1
       UNION ALL
-      SELECT doc_id + 1000000, text FROM parted2
+      SELECT doc_id + {_RECRAWL_KEY_OFFSET}, text FROM parted2
       WHERE half = 0 AND doc_id % 25 = 0),
     udocs AS MATERIALIZED (
       SELECT n.doc_id, n.text FROM newdocs2 n
@@ -3383,49 +3384,11 @@ _ADMISSION_SQL = f"""
     selfrest AS (
       SELECT * FROM udocs
       WHERE doc_id NOT IN (SELECT doc_id FROM exact_new)),
-    {_incr_shingles_sql('selfrest', 'self')},
-    sig_self AS MATERIALIZED {_MINHASH_SIG_SQL.format(sh='sh_self')},
-    bands_self AS (
-      SELECT doc_id, '0|' || h0 || '|' || h1 AS band FROM sig_self
-      UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig_self),
-    bcap AS (SELECT * FROM (
-               SELECT doc_id, band,
-                      count(*) OVER (PARTITION BY band) AS bn
-               FROM bands_self) WHERE bn <= 10000),
-    scands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
-               FROM bcap a JOIN bcap b USING (band)
-               WHERE a.doc_id < b.doc_id),
-    skeys AS (SELECT key_a AS doc_id FROM scands
-              UNION SELECT key_b FROM scands),
-    shr AS MATERIALIZED (SELECT * FROM sh_self
-            WHERE doc_id IN (SELECT doc_id FROM skeys)),
-    ssizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
-               FROM shr GROUP BY doc_id),
-    sshared AS (
-      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-             CAST(count(*) AS BIGINT) AS shared
-      FROM shr a JOIN shr b USING (shingle)
-      WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    spairs AS MATERIALIZED (
-      SELECT s.key_a, s.key_b FROM sshared s
-      JOIN scands USING (key_a, key_b)
-      JOIN ssizes sa ON sa.doc_id = s.key_a
-      JOIN ssizes sb ON sb.doc_id = s.key_b
-      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+    comp_self AS MATERIALIZED (
+      {_lsh_components_sql('SELECT doc_id, text FROM selfrest', 'self')}),
     near_new AS MATERIALIZED (
-      WITH RECURSIVE
-      sedges AS (SELECT key_a AS src, key_b AS dst FROM spairs
-                 UNION ALL SELECT key_b, key_a FROM spairs),
-      snodes AS (SELECT DISTINCT src AS node FROM sedges),
-      walk2(node, comp2) AS (
-        SELECT node, node FROM snodes
-        UNION
-        SELECT e.dst, w.comp2 FROM walk2 w
-        JOIN sedges e ON e.src = w.node)
-      SELECT node AS doc_id, min(comp2) AS canonical_id
-      FROM walk2 GROUP BY node
-      HAVING node <> min(comp2)),
+      SELECT doc_id, canonical_id FROM comp_self
+      WHERE doc_id <> canonical_id),
     decided AS (
       SELECT doc_id, canonical_id, match_kind FROM resolved
       WHERE match_kind <> 'unique'
@@ -3469,7 +3432,8 @@ _ADMISSION_SQL = f"""
         "unique} and admitted = unique ∧ quality-keep. Cross-snapshot "
         "matches win over new∪new dups, so a doc that is both resolves "
         "to the EXISTING root — the cluster-fragmentation case the "
-        "chaining exists for (planted test in tests/test_dedup.py). "
+        "chaining exists for (planted tests in "
+        "tests/test_curation_ops.py). "
         "Verdicts/decisions come from the materialized artifacts "
         "(decide-once/serve-many); the oracle derives every phase live "
         "in CTEs, value-identical because each artifact's builder is "
@@ -3478,7 +3442,7 @@ def snapshot_admission_full(spark, sf_dir):
     from ..operators.dedup import INDEX_BUILD_PARAMS, snapshot_admission
     existing, new = _half_docs(spark, sf_dir)
     recrawled = (existing.filter(F.col("doc_id") % 25 == 0)
-                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                 .select((F.col("doc_id") + _RECRAWL_KEY_OFFSET).alias("doc_id"),
                          "text"))
     new = new.select("doc_id", "text").unionByName(recrawled)
     verdicts = (spark.read.parquet(dedup_verdicts_dir(spark, sf_dir))
