@@ -259,3 +259,35 @@ def test_snapshot_admission_exact_new_chains_through_near_new(spark):
     assert out[21] == (20, "near_new")        # A demoted to near_new
     assert out[22] == (20, "exact_new"), \
         "exact_new canonical must chain through near_new to the root"
+
+
+def test_admission_canonicals_point_at_admitted_or_existing(spark):
+    """The invariant the r6 chaining fixes establish: over the real
+    snapshot_admission_full output, every rejected doc's canonical is
+    either (a) a doc ADMITTED in this snapshot (match_kind 'unique' —
+    exact_new/near_new cases) or (b) an existing-half doc id (cross
+    'exact'/'near' cases, chained to the snapshot-N root). No canonical
+    may dangle on another rejected new doc."""
+    import hashlib
+    from ocr_processing_pipeline_spark.plans.queries import (
+        _RECRAWL_KEY_OFFSET)
+    rows = QUERIES["snapshot_admission_full"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    kind = {r.doc_id: r.match_kind for r in rows}
+
+    def existing_half(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return h % 2 == 0
+
+    for r in rows:
+        if r.match_kind == "unique":
+            assert r.canonical_id == r.doc_id
+        elif r.match_kind in ("exact_new", "near_new"):
+            assert kind.get(r.canonical_id) == "unique", \
+                f"{r.doc_id} -> {r.canonical_id} dangles on a " \
+                f"{kind.get(r.canonical_id)} row"
+        else:  # cross 'exact'/'near': snapshot-N root, existing half
+            assert r.canonical_id < _RECRAWL_KEY_OFFSET
+            assert existing_half(r.canonical_id), \
+                f"cross canonical {r.canonical_id} is not an " \
+                "existing-half doc"
