@@ -85,6 +85,23 @@ COMMENT = {
         "MATERIALIZED incremental verdicts table (dedup_verdicts_* "
         "FileScan, decided once per snapshot) and the Gopher gate — the "
         "N+1 counterpart of curated_corpus's cheap three-table plan."),
+    "resolve_canonicals": (
+        "Cross-snapshot canonical chaining: ONE BroadcastHashJoin of "
+        "the materialized verdicts table against the SNAPSHOT-N "
+        "decisions table (snapshot_decisions_* FileScan — components "
+        "over the existing half only, itself built by probing the "
+        "band index). The decisions side is O(duplicate docs) and "
+        "broadcast; no shuffle of the verdict stream."),
+    "snapshot_admission_full": (
+        "The full per-crawl-drop admission composition: both existing-"
+        "corpus artifacts appear ONLY as FileScans (verdicts + "
+        "snapshot-N decisions, decided once per snapshot); the "
+        "fingerprint shuffle and the LSH self-join run over the CROSS-"
+        "UNIQUE REMAINDER only (each phase shrinks the next phase's "
+        "input); shared legs (uniq_docs, exact_new, the shingle index) "
+        "are localCheckpointed so each is derived once. At 10^12 docs "
+        "every stage is bounded by the NEW snapshot's size, never the "
+        "corpus."),
 }
 
 
@@ -121,7 +138,8 @@ def main() -> None:
                  "broadcast_join_parts", "semi_join_layered",
                  "embedding_topk", "bm25_search", "layered_search",
                  "curated_corpus", "doc_unigram_logprob",
-                 "dedup_incremental", "snapshot_ingest"):
+                 "dedup_incremental", "snapshot_ingest",
+                 "resolve_canonicals", "snapshot_admission_full"):
         df = QUERIES[name].fn(spark, SF_DIR)
         out.append(f"## {name}\n")
         out.append(COMMENT[name] + "\n")
