@@ -658,8 +658,11 @@ def simhash_candidates(sig: DataFrame, n_bands: int = 4,
 
 # rounds of plain min-label propagation before pointer jumping engages:
 # near-clique dedup clusters converge inside this budget and never pay
-# the extra per-round self-join; only long drift chains go logarithmic
-_JUMP_AFTER = 3
+# the extra per-round self-join; only long drift chains go logarithmic.
+# (The seeded initial labeling counts as the first propagation round —
+# see connected_components — so this is one lower than the r4-r6 value
+# of 3: jumping engages at the same effective propagation depth.)
+_JUMP_AFTER = 2
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -700,8 +703,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # expensive verify stage (inverted-index join) that must not be
     # recomputed inside every propagation round
     edges = edges.localCheckpoint()
-    labels = (edges.select(F.col("src").alias("key")).distinct()
-              .withColumn("comp", F.col("key")))
+    # SEEDED initial labeling: comp₀ = min(self, neighbors). This is
+    # exactly what the first propagation round would produce from the
+    # identity labeling, but costs ONE aggregation over the checkpointed
+    # edge list instead of a distinct + join + aggregate round (edges
+    # are symmetric, so every node appears as src and min(dst) is the
+    # min neighbor). The loop below then starts one propagation level
+    # deeper — same label trajectory as before, one fewer round of
+    # (join + aggregate + join + checkpoint + probe) per call.
+    labels = (edges.groupBy(F.col("src").alias("key"))
+              .agg(F.min("dst").alias("_m"))
+              .select("key", F.least("key", "_m").alias("comp"))
+              .localCheckpoint())
     changed = 1
     for rnd in range(max_iter + 1):   # +1: the zero-change proof round
         nbr_min = (edges

@@ -45,6 +45,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# (sf_dir, name, parallelism) -> scan partition count. Pure file-layout
+# metadata (how many splits the scan yields), NOT query results — safe to
+# memo for the process lifetime; probing costs a plan->RDD conversion we
+# don't want to re-pay 85 times per bench sweep.
+_SCAN_PARTS_MEMO: dict = {}
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table with a scale-adaptive parallelism floor (guide §2.5:
+    'input skew — one huge unsplittable file … repartition immediately
+    after the read').
+
+    The sf-tier parquet tables are ONE file with ONE row group, and a
+    row group is the atomic unit of scan parallelism — no config
+    (maxPartitionBytes / minPartitionNum) can split it, so every narrow
+    expression-heavy chain above the scan (shingle explode, md5
+    minhash, simhash votes, regex scoring) otherwise runs in a single
+    task regardless of core count. The round-robin exchange is
+    CONDITIONAL on the scan really having fewer partitions than the
+    session's parallelism: on a sharded production corpus the scan
+    already yields >= cores splits and NO Exchange is added — at 100 TB
+    an unconditional repartition here would be a full-payload shuffle.
+    Row-to-partition assignment is deterministic (Spark sorts before
+    round-robin repartition, SPARK-23207), and every consumer below is
+    order-insensitive (counts, mins, integer votes), so results are
+    bit-identical either way.
+    """
+    df = _t(spark, sf_dir, name)
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        return df
+    target = spark.sparkContext.defaultParallelism
+    key = (os.path.abspath(sf_dir), name, target)
+    n = _SCAN_PARTS_MEMO.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS_MEMO[key] = n
+    return df if n >= target else df.repartition(target)
+
+
 # =============================================================================
 # Text-analysis / training-data family (documents table)
 # =============================================================================
@@ -85,7 +124,7 @@ def doc_token_counts(spark, sf_dir):
         "second half of the token-counting family next to the "
         "whitespace count")
 def doc_bpe_tokens(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -210,7 +249,7 @@ _LANGID_SQL = """
         "role), plus a repetition ratio "
         "(duplicate-word fraction) reported unmixed into the gate")
 def doc_quality_gopher(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim("text")), r"\s+")
     n_words = F.size(toks)
     denom = F.greatest(n_words, F.lit(1))
@@ -247,7 +286,7 @@ def doc_quality_gopher(spark, sf_dir):
 @register("doc_langid", _LANGID_SQL,
           doc="language-ID heuristic: argmax stopword hits (U2 analogue)")
 def doc_langid(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     t = F.lower(F.col("text"))
     hits = {k: F.regexp_count(t, F.lit(p)) for k, p in _LANG_PATS.items()}
     best = F.greatest(*hits.values())
@@ -413,7 +452,7 @@ def _lsh_components_sql(src_sql: str, tag: str) -> str:
         "digest, so k=4 costs ONE md5 per shingle)")
 def minhash_signatures_q(spark, sf_dir):
     from ..operators.dedup import minhash_signatures, shingles
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     sig = minhash_signatures(shingles(d, "text", "doc_id", n=3),
                              num_hashes=4)
     return sig.withColumnRenamed("key", "doc_id")
@@ -442,7 +481,7 @@ def minhash_signatures_q(spark, sf_dir):
     doc="n-gram Jaccard near-dup pairs (inverted-index join, verified)")
 def near_dup_jaccard(spark, sf_dir):
     from ..operators.dedup import jaccard_pairs, shingles
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     sh = shingles(d, "text", "doc_id", n=3)
     out = jaccard_pairs(sh, min_jaccard=0.1)
     return out.select("key_a", "key_b", "shared", "n_a", "n_b",
@@ -775,7 +814,7 @@ _SHINGLES_BP_SQL = _SHINGLES_SQL.replace(
         "sides of the oracle prune identically")
 def near_dup_jaccard_pruned(spark, sf_dir):
     from ..operators.dedup import jaccard_pairs, shingles
-    d = _t(spark, sf_dir, "documents").withColumn(
+    d = _ts(spark, sf_dir, "documents").withColumn(
         "text", F.concat("text", F.lit(_BOILERPLATE)))
     sh = shingles(d, "text", "doc_id", n=3)
     out = jaccard_pairs(sh, min_jaccard=0.1, max_doc_freq=25)
@@ -809,7 +848,7 @@ def near_dup_jaccard_pruned(spark, sf_dir):
     doc="SimHash 32-bit signatures (bitwise majority, Charikar'02)")
 def simhash_signatures_q(spark, sf_dir):
     from ..operators.dedup import simhash
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return simhash(d, "text", "doc_id").withColumnRenamed("key", "doc_id")
 
 
@@ -911,7 +950,7 @@ def simhash_near_dup_pairs(spark, sf_dir):
         "array math over the shared zip-shift gram builder, no shuffle")
 def doc_repetition(spark, sf_dir):
     from ..operators.dedup import gram_array, normalize_text
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     toks = F.split(normalize_text(F.col("text")), " ")
 
     def dup_frac(n):
@@ -1073,7 +1112,7 @@ def line_dedup_across_docs(spark, sf_dir):
         "and a suffix-array per shard replaces the fixed stride only if "
         "sub-window matches are required")
 def repeated_ngram_coverage(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     width = 15
     toks = F.filter(
         F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
@@ -1323,7 +1362,7 @@ def doc_unigram_logprob(spark, sf_dir):
         "a global sort); deterministic tie-break on the shingle")
 def top_ngrams(spark, sf_dir):
     from ..operators.dedup import shingles
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     sh = shingles(d, "text", "doc_id", n=3)
     return (sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
@@ -1367,7 +1406,7 @@ def decontaminate_docs(spark, sf_dir):
     bench = (d.filter(F.col("doc_id").isin(3, 7, 11))
              .select(F.concat_ws(" ", F.slice(toks, 1, 5)).alias("shingle"))
              .distinct())
-    sh5 = shingles(d, "text", "doc_id", n=5)
+    sh5 = shingles(_ts(spark, sf_dir, "documents"), "text", "doc_id", n=5)
     return (sh5.join(F.broadcast(bench), "shingle")
             .groupBy(F.col("key").alias("doc_id"))
             .agg(F.countDistinct("shingle").cast("long").alias("n_hits")))
@@ -1397,7 +1436,7 @@ def decontaminate_docs(spark, sf_dir):
         "with RE2/Java-portable patterns; pure regexp_replace built-ins, "
         "JVM-side, the standard pre-training redaction pass")
 def doc_pii_scrub(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     planted = d.select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" contact user"),
@@ -2175,7 +2214,7 @@ def rollup_revenue(spark, sf_dir):
         "map-side-combinable pass); this exact variant exists as its "
         "oracle-portable correctness twin")
 def exact_quantiles(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _ts(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     return (li.groupBy("l_returnflag")
             .agg((F.percentile(cents, F.lit(0.5)) / 100.0).alias("p50"),
@@ -2491,7 +2530,7 @@ def merge_upsert_orders(spark, sf_dir):
         "lsh_candidate_pairs' max_bucket_size)")
 def embedding_near_dup_by_label(spark, sf_dir):
     from ..operators.similarity import near_dup_pairs_by_label
-    e = _t(spark, sf_dir, "embeddings")
+    e = _ts(spark, sf_dir, "embeddings")
     pairs = near_dup_pairs_by_label(e, "embedding", "label", "vec_id",
                                     min_cos=0.3, max_label_size=10000)
     return (pairs.groupBy("label")
@@ -2985,13 +3024,21 @@ def dedup_index_dir(spark, sf_dir: str) -> str:
                                    fingerprint, minhash_signatures,
                                    shingles)
     import json
-    out = _materialized_cache_path("dedup_index", sf_dir, "v1")
+    # Fold the MinHash params into the cache version tag (ADVICE r6):
+    # with a bare "v1" + existence-only rebuild guard, a change to
+    # INDEX_BUILD_PARAMS would keep serving the STALE old-params index
+    # (and snapshot_decisions_dir would rebuild from it). A param change
+    # now evicts and rebuilds the index automatically — the same
+    # pattern snapshot_decisions_dir already uses.
+    bp = INDEX_BUILD_PARAMS
+    ver = f"v1-n{bp['n']}h{bp['num_hashes']}b{bp['band_size']}"
+    out = _materialized_cache_path("dedup_index", sf_dir, ver)
     bands_p = os.path.join(out, "bands.parquet")
     fps_p = os.path.join(out, "fingerprints.parquet")
     params_p = os.path.join(out, "params.json")
     if not (os.path.exists(os.path.join(bands_p, "_SUCCESS"))
             and os.path.exists(params_p)):
-        _materialized_cache_path("dedup_index", sf_dir, "v1",
+        _materialized_cache_path("dedup_index", sf_dir, ver,
                                  evict_stale=True)
         existing, _ = _half_docs(spark, sf_dir)
         # record the MinHash parameters BESIDE the index FIRST: probes
@@ -3206,6 +3253,18 @@ def snapshot_decisions_dir(spark, sf_dir: str) -> str:
         idx_dir = dedup_index_dir(spark, sf_dir)
         with open(os.path.join(idx_dir, "params.json")) as fh:
             p = json.load(fh)
+        # same drift guard as dedup_incremental (ADVICE r6): the verify
+        # shingling below must use the params the band index was BUILT
+        # with, or the decisions table silently clusters from a band set
+        # produced under different constants. A plain raise (survives
+        # python -O), structurally unreachable now that the index tag
+        # folds the params, but cheap insurance against a hand-edited
+        # params.json.
+        keys = ("n", "num_hashes", "band_size")
+        if ({k: p[k] for k in keys}
+                != {k: INDEX_BUILD_PARAMS[k] for k in keys}):
+            raise ValueError(
+                f"dedup index params drifted from INDEX_BUILD_PARAMS: {p}")
         banded = spark.read.parquet(os.path.join(idx_dir,
                                                  "bands.parquet"))
         a, b = banded.alias("a"), banded.alias("b")
