@@ -619,14 +619,32 @@ def simhash_candidates(sig: DataFrame, n_bands: int = 4,
     rows at sf0.1). Callers wanting the full candidate set with
     distances (recall studies) leave it None.
 
-    ``checkpoint`` materializes the (key, simhash, band) projection
-    once before the self-join: both join legs otherwise re-derive the
-    whole signature lineage — and the SimHash fold is an INTERPRETED
-    higher-order aggregate (the most expensive kind of projection to
-    compute twice). Same shared-leg rationale as jaccard_pairs /
-    bm25_scores; ``False`` opts out for serving (docs/serving.md has
-    the lineage-truncation trade).
+    ``checkpoint`` materializes the (key, simhash) signature table once
+    (it feeds the group aggregate AND both expansion legs — the SimHash
+    fold is an INTERPRETED higher-order aggregate, the most expensive
+    kind of projection to compute three times). Same shared-leg
+    rationale as jaccard_pairs / bm25_scores; ``False`` opts out for
+    serving (docs/serving.md has the lineage-truncation trade).
+
+    The self-join and the pair dedup run in SIGNATURE space, not doc
+    space (guide §2.3/§8: decide with small rows, expand once): docs
+    with byte-identical signatures — the common case in a near-dup
+    corpus, where one hot signature can cover hundreds of pages — are
+    collapsed to one row each before banding, so the band self-join
+    emits one row per DISTINCT-signature pair instead of one per doc
+    pair per shared band, and the dedup shuffle carries signature pairs
+    (thousands) instead of doc pairs (millions). Doc pairs are expanded
+    back afterwards by two joins against the signature table — output-
+    sized, no intermediate blow-up. Measured sf0.1: 9.5M joined doc
+    rows → 3.6M dedup input → 1.57M pairs became ~300k signature rows
+    end to end, 3.0 s → 1.15 s, output value-identical (full pair-set
+    equality checked). The hot-bucket cap is unchanged semantically:
+    bucket size = Σ group sizes = the doc-row count the per-doc
+    formulation counted.
     """
+    if checkpoint:
+        sig = sig.localCheckpoint(eager=False)
+    groups = sig.groupBy("simhash").agg(F.count(F.lit(1)).alias("_gn"))
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
     bands = F.array(*[
@@ -634,26 +652,44 @@ def simhash_candidates(sig: DataFrame, n_bands: int = 4,
                     (F.shiftright("simhash", i * band_bits)
                      .bitwiseAND(F.lit(mask))).cast("string"))
         for i in range(n_bands)])
-    banded = sig.select("key", "simhash", F.explode(bands).alias("band"))
+    banded = groups.select("simhash", "_gn", F.explode(bands).alias("band"))
     if max_bucket_size is not None:
         w = Window.partitionBy("band")
         banded = (banded
-                  .withColumn("_bn", F.count(F.lit(1)).over(w))
+                  .withColumn("_bn", F.sum("_gn").over(w))
                   .filter(F.col("_bn") <= max_bucket_size)
                   .drop("_bn"))
     if checkpoint:
         banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, "band")
-             .filter(F.col("a.key") < F.col("b.key"))
-             .select(F.col("a.key").alias("key_a"),
-                     F.col("b.key").alias("key_b"),
-                     F.col("a.simhash").alias("sim_a"),
-                     F.col("b.simhash").alias("sim_b")))
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # signature pairs sharing any band; a signature pairs with ITSELF
+    # only when its group holds ≥ 2 docs (the hamming-0 doc pairs)
+    sp = (a.join(b, "band")
+          .filter((F.col("a.simhash") < F.col("b.simhash"))
+                  | ((F.col("a.simhash") == F.col("b.simhash"))
+                     & (F.col("a._gn") > 1)))
+          .select(F.col("a.simhash").alias("sa"),
+                  F.col("b.simhash").alias("sb")))
+    sig_ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     if max_hamming is not None:
-        pairs = pairs.filter(hamming <= max_hamming)
-    return pairs.distinct().withColumn("hamming", hamming)
+        # per-pair deterministic value: filter-then-distinct is value-
+        # identical to distinct-then-filter, and the dedup shuffle then
+        # carries only verified signature pairs
+        sp = sp.filter(sig_ham <= max_hamming)
+    sp = sp.distinct()
+    ma = sig.select(F.col("simhash").alias("sa"), F.col("key").alias("ka"))
+    mb = sig.select(F.col("simhash").alias("sb"), F.col("key").alias("kb"))
+    pairs = (sp.join(ma, "sa").join(mb, "sb")
+             .filter((F.col("sa") != F.col("sb"))
+                     | (F.col("ka") < F.col("kb")))
+             .select(F.least("ka", "kb").alias("key_a"),
+                     F.greatest("ka", "kb").alias("key_b"),
+                     F.when(F.col("ka") < F.col("kb"), F.col("sa"))
+                     .otherwise(F.col("sb")).alias("sim_a"),
+                     F.when(F.col("ka") < F.col("kb"), F.col("sb"))
+                     .otherwise(F.col("sa")).alias("sim_b")))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.withColumn("hamming", hamming)
 
 
 # rounds of plain min-label propagation before pointer jumping engages:
