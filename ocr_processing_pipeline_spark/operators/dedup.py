@@ -737,8 +737,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                               F.col("src").alias("dst"))))
     # materialize the edge list ONCE: pairs usually derive from an
     # expensive verify stage (inverted-index join) that must not be
-    # recomputed inside every propagation round
-    edges = edges.localCheckpoint()
+    # recomputed inside every propagation round. Lazy: the first
+    # convergence-probe job materializes edges, the seed labels, and
+    # the first round in ONE pass instead of three separate jobs.
+    edges = edges.localCheckpoint(eager=False)
     # SEEDED initial labeling: comp₀ = min(self, neighbors). This is
     # exactly what the first propagation round would produce from the
     # identity labeling, but costs ONE aggregation over the checkpointed
@@ -750,7 +752,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (edges.groupBy(F.col("src").alias("key"))
               .agg(F.min("dst").alias("_m"))
               .select("key", F.least("key", "_m").alias("comp"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     changed = 1
     for rnd in range(max_iter + 1):   # +1: the zero-change proof round
         nbr_min = (edges
@@ -787,8 +789,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                                        F.col("_jcomp") < F.col("comp"),
                                        F.lit(False)))
                                   .alias("chg")))
-        new_labels = new_labels.localCheckpoint()  # cut iterative lineage
-        changed = new_labels.filter("chg").limit(1).count()
+        # LAZY checkpoint + UNLIMITED count: the count computes every
+        # partition, so the one job both materializes the checkpoint
+        # (cutting the iterative lineage) and returns the convergence
+        # probe — the eager-checkpoint formulation paid two jobs per
+        # round for the same two effects. No limit(1): a limited count
+        # could short-circuit and leave checkpoint partitions
+        # unmaterialized for the next round to recompute.
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")
         if changed == 0:
             break
