@@ -239,7 +239,14 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
     # checkpointed it is ~5 s at sf0.1, under r1's 6.0 s). Two longs per
     # row — far smaller than the corpus it indexes.
     sh = sh.select("key", F.xxhash64("shingle").alias("shingle"))
-    if checkpoint:
+    # ...EXCEPT when a candidates-only restriction follows immediately:
+    # the hashed projection then has exactly ONE consumer (the key
+    # semi-join) before the post-restriction checkpoint that the three
+    # downstream legs read, so materializing it first is a wasted full
+    # pass over the corpus-sized index (measured ~0.2-0.3 s per LSH
+    # verify at sf0.1). The df-prune path keeps it: the hot aggregation
+    # AND the anti-join both consume the projection.
+    if checkpoint and not (candidates is not None and max_doc_freq is None):
         sh = sh.localCheckpoint(eager=False)
     restricted = False
     if max_doc_freq is not None:
