@@ -3535,46 +3535,44 @@ def snapshot_admission_full(spark, sf_dir):
 # by tests/test_queries_oracle.py at two scale factors regardless of
 # whether the driver samples it this round.
 _DRIVER_PRIORITY = [
-    # new in round 6 — never driver-sampled
-    "resolve_canonicals",
-    "snapshot_admission_full",
-    # not sampled in r5 (green in r4 or earlier; rotated back in —
-    # VERDICT r5 #3's exact list)
-    "near_dup_jaccard_pruned",
-    "simhash_signatures",
-    "simhash_near_dup_pairs",
-    "doc_repetition",
-    "c4_sentence_filter",
-    "line_dedup_across_docs",
-    "repeated_ngram_coverage",
-    "corpus_mixture_sample",
-    "sessionize_clicks",
-    "windowed_event_counts",
-    "sliding_window_counts",
-    "doc_unigram_logprob",
-    "url_prefix_guard",
-    "fuzzy_levenshtein",
-    "sanitize_text",
-    "cube_event_stats",
-    "regex_log_parse",
-    "fixed_window_chunks",
-    "rollup_revenue",
-    "exact_quantiles",
-    "bm25_search",
-    "hybrid_search",
-    "layered_search",
-    "reduce_person_names",
-    "metrics_yearly_report",
-    "merge_upsert_orders",
-    "embedding_near_dup_by_label",
-    "distinct_users_per_type",
-    "curated_corpus",
-    # the four no-oracle pipeline rows (byte-identity parity suite is
-    # their gate; the driver records a rows-only check)
-    "pipeline_extract_docs",
-    "pipeline_chunks",
-    "pipeline_edges",
-    "pipeline_layered_search",
+    # not sampled in r6 (VERDICT r6 #2's exact 34-query list, rotated
+    # in so every registered query keeps a recent driver row; all are
+    # oracle-gate green this round at sf0.001 + sf0.01)
+    "lsh_near_dup_pairs",
+    "top_ngrams",
+    "decontaminate_docs",
+    "doc_pii_scrub",
+    "stratified_sample",
+    "pack_sequences",
+    "embedding_quantize",
+    "embedding_topk",
+    "embedding_label_centroids",
+    "embedding_norms",
+    "agg_pricing_summary",
+    "filtered_scan",
+    "in_filter",
+    "like_filter",
+    "anti_join_resume",
+    "semi_join_layered",
+    "join_orders_per_nation",
+    "broadcast_join_parts",
+    "window_topk_per_group",
+    "running_window_frames",
+    "dedup_first_event",
+    "change_detection",
+    "asof_join_events",
+    "sorted_set_langs",
+    "union_distinct_users",
+    "json_extract_props",
+    "date_arithmetic",
+    "string_functions",
+    "pivot_linestatus",
+    "media_features",
+    "corpus_shard_assignment",
+    "url_canonicalize",
+    "url_host_stats",
+    "dedup_incremental",
+    "snapshot_ingest",
 ]
 
 
