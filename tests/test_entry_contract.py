@@ -47,11 +47,11 @@ def test_driver_priority_ordering():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
     assert set(_DRIVER_PRIORITY) <= set(QUERIES)
     first50 = list(E.queries())[:50]
-    # r6 rotation: the two new queries plus the r5-unsampled block
-    # (VERDICT r5 task 3) must surface inside the 50-entry window
-    for name in ("resolve_canonicals", "snapshot_admission_full",
-                 "simhash_near_dup_pairs", "bm25_search",
-                 "fuzzy_levenshtein", "pipeline_edges"):
+    # r7 rotation: the r6-unsampled block (VERDICT r6 task 2) must
+    # surface inside the 50-entry window
+    for name in ("lsh_near_dup_pairs", "dedup_incremental",
+                 "media_features", "url_canonicalize",
+                 "snapshot_ingest", "embedding_quantize"):
         assert name in first50, f"{name} outside the driver sample window"
     # the whole priority list must actually land in the sampled window
     assert set(_DRIVER_PRIORITY) <= set(first50)
