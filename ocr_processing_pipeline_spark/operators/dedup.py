@@ -176,7 +176,8 @@ def band_keys(sig: DataFrame,
 def lsh_candidate_pairs(sig: DataFrame,
                         num_hashes: int = DEFAULT_NUM_HASHES,
                         band_size: int = DEFAULT_BAND_SIZE,
-                        max_bucket_size: int | None = 10000) -> DataFrame:
+                        max_bucket_size: int | None = 10000,
+                        checkpoint: bool = True) -> DataFrame:
     """Banding: keys sharing any band collide; returns (key_a < key_b).
 
     ``max_bucket_size`` drops pathologically hot band buckets before the
@@ -186,8 +187,17 @@ def lsh_candidate_pairs(sig: DataFrame,
     collapses them in one shuffle), then LSH on the survivors; the cap is
     the safety net, and dropped buckets are still co-grouped by any other
     non-hot band they share.
+
+    ``checkpoint`` materializes the capped band table once before the
+    self-join: BOTH join legs otherwise re-derive the whole signature
+    aggregation + hot-bucket window from the shingle table (the r7 plan
+    audit showed the duplicated Exchange+Window chain; within-JVM A/B
+    at sf0.1: full LSH chain 2.2-2.6 s → 1.6-1.8 s). ``False`` opts out
+    for serving tiers (docs/serving.md lineage-truncation trade).
     """
     banded = band_keys(sig, num_hashes, band_size, max_bucket_size)
+    if checkpoint:
+        banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, "band")
@@ -319,7 +329,7 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
         sh = sh.localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes, hash_impl=hash_impl),
-        num_hashes, band_size)
+        num_hashes, band_size, checkpoint=checkpoint)
     return jaccard_pairs(sh, min_jaccard, candidates=cands,
                          checkpoint=checkpoint)
 
