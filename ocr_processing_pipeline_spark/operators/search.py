@@ -154,7 +154,8 @@ def hybrid_topk(df: DataFrame, text_col: str, key_col: str,
 
 def layered_topk(df: DataFrame, text_col: str, key_col: str,
                  query_terms: list[str], doc_k: int = 20, k: int = 10,
-                 chunk_tokens: int = 64, round_to: int = 4) -> DataFrame:
+                 chunk_tokens: int = 64, round_to: int = 4,
+                 checkpoint: bool = True) -> DataFrame:
     """Coarse-to-fine layered search (Query/layered_search.py:74-104:
     doc-level top-k → Filter.by_property('doc_id').contains_any →
     chunk-level search within the survivors).
@@ -180,6 +181,14 @@ def layered_topk(df: DataFrame, text_col: str, key_col: str,
                    .alias("pos0", "tok"))
            .withColumn("chunk_no",
                        F.floor(F.col("pos0") / chunk_tokens).cast("int")))
+    # the chunk-token projection feeds the length leg AND the term-hit
+    # leg; without the checkpoint each re-runs the doc-level top-k +
+    # semi-join + explode (r7 plan audit: documents scanned 4x in one
+    # query; checkpointed: 1.4-1.6 s -> 1.0-1.2 s, output identical).
+    # ``checkpoint=False`` opts out for serving tiers (docs/serving.md)
+    # and lets the plan tests see the pre-checkpoint join shape.
+    if checkpoint:
+        tok = tok.localCheckpoint(eager=False)
     clen = (tok.groupBy("key", "chunk_no")
             .agg(F.count(F.lit(1)).alias("chunk_len")))
     ctf = (tok.filter(F.col("tok").isin(terms))
