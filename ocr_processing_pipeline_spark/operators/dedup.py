@@ -249,14 +249,14 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float,
     # checkpointed it is ~5 s at sf0.1, under r1's 6.0 s). Two longs per
     # row — far smaller than the corpus it indexes.
     sh = sh.select("key", F.xxhash64("shingle").alias("shingle"))
-    # ...EXCEPT when a candidates-only restriction follows immediately:
-    # the hashed projection then has exactly ONE consumer (the key
-    # semi-join) before the post-restriction checkpoint that the three
-    # downstream legs read, so materializing it first is a wasted full
-    # pass over the corpus-sized index (measured ~0.2-0.3 s per LSH
-    # verify at sf0.1). The df-prune path keeps it: the hot aggregation
-    # AND the anti-join both consume the projection.
-    if checkpoint and not (candidates is not None and max_doc_freq is None):
+    # Keep this checkpoint even on the candidates path, where the
+    # projection has a single consumer (the key semi-join) before the
+    # post-restriction checkpoint: skipping it saved ~0.2-0.3 s at
+    # sf0.1 but regressed ~40% at a 50k-doc/dense-cluster stress tier
+    # (32.9 s vs 54.9 s for the full chain) — at size, the semi-join's
+    # sort/shuffle over a materialized compact table beats re-deriving
+    # the hashed projection inside the join stage. Scale wins.
+    if checkpoint:
         sh = sh.localCheckpoint(eager=False)
     restricted = False
     if max_doc_freq is not None:
@@ -330,6 +330,13 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, key_col: str,
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes, hash_impl=hash_impl),
         num_hashes, band_size, checkpoint=checkpoint)
+    # the candidate pair set feeds TWO legs inside jaccard_pairs (the
+    # key restriction and the pair semi-join); without a checkpoint each
+    # re-runs the band self-join + pair distinct — invisible at sf0.1
+    # (256 pairs) but a 125 s vs 72 s difference at a 50k-doc dense-
+    # cluster stress tier where the candidate set is millions of rows
+    if checkpoint:
+        cands = cands.localCheckpoint(eager=False)
     return jaccard_pairs(sh, min_jaccard, candidates=cands,
                          checkpoint=checkpoint)
 
