@@ -687,10 +687,14 @@ def simhash_candidates(sig: DataFrame, n_bands: int = 4,
         banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     # signature pairs sharing any band; a signature pairs with ITSELF
-    # only when its group holds ≥ 2 docs (the hamming-0 doc pairs)
+    # only when its group holds ≥ 2 docs (the hamming-0 doc pairs).
+    # eqNullSafe: NULL-signature docs (null text) band together under
+    # the bare "i" band string and must still self-pair when
+    # max_hamming is None, exactly as the per-doc formulation did — a
+    # plain == would null out the predicate and silently drop them
     sp = (a.join(b, "band")
           .filter((F.col("a.simhash") < F.col("b.simhash"))
-                  | ((F.col("a.simhash") == F.col("b.simhash"))
+                  | (F.col("a.simhash").eqNullSafe(F.col("b.simhash"))
                      & (F.col("a._gn") > 1)))
           .select(F.col("a.simhash").alias("sa"),
                   F.col("b.simhash").alias("sb")))
@@ -701,10 +705,15 @@ def simhash_candidates(sig: DataFrame, n_bands: int = 4,
         # carries only verified signature pairs
         sp = sp.filter(sig_ham <= max_hamming)
     sp = sp.distinct()
-    ma = sig.select(F.col("simhash").alias("sa"), F.col("key").alias("ka"))
-    mb = sig.select(F.col("simhash").alias("sb"), F.col("key").alias("kb"))
-    pairs = (sp.join(ma, "sa").join(mb, "sb")
-             .filter((F.col("sa") != F.col("sb"))
+    # null-safe expansion joins for the same reason (a plain equi-join
+    # never matches a NULL key)
+    ma = sig.select(F.col("simhash").alias("_msa"),
+                    F.col("key").alias("ka"))
+    mb = sig.select(F.col("simhash").alias("_msb"),
+                    F.col("key").alias("kb"))
+    pairs = (sp.join(ma, F.col("sa").eqNullSafe(F.col("_msa")))
+             .join(mb, F.col("sb").eqNullSafe(F.col("_msb")))
+             .filter(~F.col("sa").eqNullSafe(F.col("sb"))
                      | (F.col("ka") < F.col("kb")))
              .select(F.least("ka", "kb").alias("key_a"),
                      F.greatest("ka", "kb").alias("key_b"),
@@ -759,12 +768,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                      F.col("key_b").alias("dst"))
     edges = (e.union(e.select(F.col("dst").alias("src"),
                               F.col("src").alias("dst"))))
-    # materialize the edge list ONCE: pairs usually derive from an
-    # expensive verify stage (inverted-index join) that must not be
-    # recomputed inside every propagation round. Lazy: the first
-    # convergence-probe job materializes edges, the seed labels, and
-    # the first round in ONE pass instead of three separate jobs.
-    edges = edges.localCheckpoint(eager=False)
+    # materialize the edge list ONCE, EAGERLY: pairs usually derive
+    # from an expensive verify stage (inverted-index join) that must
+    # not be recomputed inside any propagation round — and round 0 can
+    # schedule two independent map stages over edges (the seed
+    # aggregation and the join's exchange when labels don't broadcast),
+    # whose concurrent tasks would each recompute a not-yet-cached
+    # lazy-checkpoint partition. One up-front job guarantees the verify
+    # lineage runs exactly once; the seed and per-round checkpoints
+    # stay lazy (their lineage is one step over materialized edges).
+    edges = edges.localCheckpoint()
     # SEEDED initial labeling: comp₀ = min(self, neighbors). This is
     # exactly what the first propagation round would produce from the
     # identity labeling, but costs ONE aggregation over the checkpointed

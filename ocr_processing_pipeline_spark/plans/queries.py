@@ -3202,10 +3202,16 @@ def dedup_verdicts_dir(spark, sf_dir: str) -> str:
 
     v2: planted re-crawl keys moved from +1e6 to +2^40
     (_RECRAWL_KEY_OFFSET) — the stored verdict doc_ids embed the
-    offset, so the cache version must move with it."""
-    out = _materialized_cache_path("dedup_verdicts", sf_dir, "v2")
+    offset, so the cache version must move with it. The MinHash params
+    are folded into the tag like dedup_index_dir/snapshot_decisions_dir
+    (r7 review): the stored verdicts embed band-probe decisions, so a
+    params change must evict them too — a bare "v2" would keep serving
+    OLD-params verdicts while the index and decisions rebuilt."""
+    from ..operators.dedup import INDEX_BUILD_PARAMS as _bp
+    ver = f"v2-n{_bp['n']}h{_bp['num_hashes']}b{_bp['band_size']}"
+    out = _materialized_cache_path("dedup_verdicts", sf_dir, ver)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        _materialized_cache_path("dedup_verdicts", sf_dir, "v2",
+        _materialized_cache_path("dedup_verdicts", sf_dir, ver,
                                  evict_stale=True)
         QUERIES["dedup_incremental"].fn(spark, sf_dir) \
             .write.mode("overwrite").parquet(out)
@@ -3535,7 +3541,7 @@ def snapshot_admission_full(spark, sf_dir):
 # by tests/test_queries_oracle.py at two scale factors regardless of
 # whether the driver samples it this round.
 _DRIVER_PRIORITY = [
-    # not sampled in r6 (VERDICT r6 #2's exact 34-query list, rotated
+    # not sampled in r6 (VERDICT r6 #2's exact 35-query list, rotated
     # in so every registered query keeps a recent driver row; all are
     # oracle-gate green this round at sf0.001 + sf0.01)
     "lsh_near_dup_pairs",

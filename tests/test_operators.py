@@ -409,3 +409,27 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     comp = {r.key: r.component
             for r in connected_components(chain, max_iter=12).collect()}
     assert len(comp) == 61 and set(comp.values()) == {0}
+
+
+def test_simhash_null_signature_pairs(spark):
+    """Docs with NULL text have NULL signatures; with max_hamming=None
+    (recall-study mode) they must still pair among themselves with a
+    NULL hamming — the per-doc formulation banded them under the bare
+    band prefix and emitted the pairs, and the signature-space rewrite
+    must not silently drop them (null-safe joins). With a hamming
+    threshold they are filtered out, as before."""
+    from ocr_processing_pipeline_spark.operators.dedup import (
+        simhash, simhash_candidates)
+    rows = [(1, None), (2, None),
+            (3, "alpha beta gamma delta"), (4, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash(df, "text", "doc_id")
+    allp = {(r.key_a, r.key_b): r.hamming
+            for r in simhash_candidates(sigs, n_bands=4,
+                                        max_hamming=None).collect()}
+    assert (1, 2) in allp and allp[(1, 2)] is None
+    assert allp.get((3, 4)) == 0
+    capped = {(r.key_a, r.key_b)
+              for r in simhash_candidates(sigs, n_bands=4,
+                                          max_hamming=3).collect()}
+    assert (1, 2) not in capped and (3, 4) in capped

@@ -14,10 +14,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from ocr_processing_pipeline_spark.plans.queries import (  # noqa: E402
-    QUERIES, dedup_decisions_dir, dedup_index_dir, dedup_verdicts_dir,
-    extracted_tables_dir, snapshot_decisions_dir)
+from ocr_processing_pipeline_spark.plans.queries import QUERIES  # noqa: E402
 from ocr_processing_pipeline_spark.session import get_spark  # noqa: E402
+from tools._warm import warm_materialized  # noqa: E402
 
 
 def main() -> None:
@@ -25,11 +24,7 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("ab_spread")
-    extracted_tables_dir(spark, sf_dir)
-    dedup_decisions_dir(spark, sf_dir)
-    dedup_index_dir(spark, sf_dir)
-    dedup_verdicts_dir(spark, sf_dir)
-    snapshot_decisions_dir(spark, sf_dir)
+    warm_materialized(spark, sf_dir)
 
     def run(name):
         t0 = time.time()

@@ -24,10 +24,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from ocr_processing_pipeline_spark.plans.queries import (  # noqa: E402
-    QUERIES, dedup_decisions_dir, dedup_index_dir, dedup_verdicts_dir,
-    extracted_tables_dir, pages_corpus_dir, snapshot_decisions_dir)
+from ocr_processing_pipeline_spark.plans.queries import QUERIES  # noqa: E402
 from ocr_processing_pipeline_spark.session import get_spark  # noqa: E402
+from tools._warm import warm_materialized  # noqa: E402
 
 
 def _run(df) -> None:
@@ -54,13 +53,7 @@ def main() -> None:
     spark = get_spark("bench_extra")
     sf_dir = args.sf_dir
     # same pre-warm as bench.py so the timed region matches
-    corpus = pages_corpus_dir(sf_dir)
-    spark.read.parquet(os.path.join(corpus, "pages.parquet")).count()
-    extracted_tables_dir(spark, sf_dir)
-    dedup_decisions_dir(spark, sf_dir)
-    dedup_index_dir(spark, sf_dir)
-    dedup_verdicts_dir(spark, sf_dir)
-    snapshot_decisions_dir(spark, sf_dir)
+    warm_materialized(spark, sf_dir)
 
     out: dict[str, list[float]] = {}
     for name in names:
